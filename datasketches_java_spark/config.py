@@ -1,0 +1,59 @@
+"""Frozen shingle/signature configuration.
+
+The north rule defines dup-pair recall *at a fixed shingle/signature
+config*; this module freezes that config and hashes it so every metrics
+table and checkpoint records exactly which config produced it
+(BASELINE.json:14, FIXTURES.md F2).
+
+Defaults mirror the reference where one exists:
+ - DEFAULT_UPDATE_SEED = 9001  (reference common/Util.java:99)
+ - KMV nominal k behaves like theta nominal entries
+   (reference thetacommon/ThetaUtil.java:55 uses 4096 as library default;
+   we freeze k=256 for signatures per FIXTURES.md F2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+DEFAULT_UPDATE_SEED = 9001  # reference common/Util.java:99
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """The frozen signature/LSH config (FIXTURES.md F2)."""
+
+    # caption shingling
+    shingle_k: int = 5            # char-5 shingles
+    seed: int = DEFAULT_UPDATE_SEED
+
+    # KMV / bottom-k signature (reference theta/UpdatableThetaSketch.java T1)
+    kmv_k: int = 256
+
+    # one-permutation MinHash for LSH banding (Li/Owen/Zhang 2012 OPH +
+    # Shrivastava/Li 2014 rotation densification)
+    minhash_n: int = 256
+    lsh_bands: int = 32           # b=32
+    lsh_rows: int = 8             # r=8  (b*r == minhash_n)
+
+    # verification thresholds
+    jaccard_golden: float = 0.8   # golden pairs: exact shingle Jaccard >= this
+    jaccard_verify: float = 0.72  # KMV-estimate threshold (margin for est. noise)
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 3
+    phash_max_hamming: int = 8
+    phash_bands: int = 16         # 16 x 4-bit bands -> pigeonhole recall for ham<=15
+
+    # skew control
+    band_group_cap: int = 2000    # bands larger than this fall back to chain-pairing
+
+    extra: dict = field(default_factory=dict)
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+FROZEN = DedupConfig()

@@ -1,0 +1,176 @@
+"""Minimal KLL quantile sketch (doubles) for audit distributions.
+
+Semantics follow the reference (kll/KllDoublesSketch.java:323-393,
+compaction kll/KllDoublesHelper.java:58-108, merge :134-196): a
+level-0 item buffer; when capacity overflows, the lowest over-capacity
+level is sorted and randomly halved (keep odd or even positions) into
+the level above, so an item at level h carries weight 2^h. Level
+capacities decay geometrically (c = 2/3, floor 8), giving the published
+normalized rank error 2.446/k^0.9433 at 99% confidence
+(kll/KllHelper.java:65-68,295-299; default k=200 kll/KllSketch.java:97).
+
+One deliberate divergence (SURVEY.md §4 "deterministic randomness"):
+the reference draws the halving coin from a process-global Random
+(kll/KllDoublesHelper.java:86-88); Spark task retries must be
+idempotent, so our coin is a counter-based hash of (sketch seed,
+compaction index) — deterministic for a fixed insertion order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash64
+
+DEFAULT_K = 200  # kll/KllSketch.java:97
+_C = 2.0 / 3.0
+_MIN_CAP = 8
+
+
+def rank_error(k: int, pmf: bool = True) -> float:
+    """Normalized rank error at 99% confidence (kll/KllHelper.java:295-299)."""
+    return 2.446 / k**0.9433 if pmf else 2.296 / k**0.9723
+
+
+class KllDoubles:
+    """Heap KLL sketch over float64 items."""
+
+    def __init__(self, k: int = DEFAULT_K, seed: int = 9001):
+        self.k = k
+        self.seed = seed
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    def _cap(self, level: int) -> int:
+        num = len(self.levels)
+        # top level has capacity k; lower levels decay by c, floor 8
+        depth = num - 1 - level
+        return max(_MIN_CAP, int(np.ceil(self.k * (_C**depth))))
+
+    def _total_cap(self) -> int:
+        return sum(self._cap(h) for h in range(len(self.levels)))
+
+    def _coin(self) -> bool:
+        self._compactions += 1
+        h = hash64(np.array([self._compactions], dtype=np.uint64), self.seed)[0]
+        return bool(h & np.uint64(1))
+
+    def update_many(self, values: np.ndarray) -> "KllDoubles":
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self.n += len(values)
+        self._compress()
+        return self
+
+    def update(self, v: float) -> "KllDoubles":
+        return self.update_many(np.array([v]))
+
+    def _num_items(self) -> int:
+        return sum(len(lv) for lv in self.levels)
+
+    def _compress(self) -> None:
+        while self._num_items() > self._total_cap():
+            # find lowest level over its capacity (findLevelToCompact analog)
+            target = None
+            for h in range(len(self.levels)):
+                if len(self.levels[h]) > self._cap(h):
+                    target = h
+                    break
+            if target is None:
+                target = 0
+            buf = np.sort(self.levels[target])
+            start = 1 if self._coin() else 0
+            promoted = buf[start::2]
+            self.levels[target] = np.empty(0, np.float64)
+            if target + 1 >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[target + 1] = np.concatenate(
+                [self.levels[target + 1], promoted]
+            )
+
+    def merge(self, other: "KllDoubles") -> "KllDoubles":
+        """Merge level-wise then re-compact (kll/KllDoublesHelper.java:134-196)."""
+        for h, items in enumerate(other.levels):
+            while h >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[h] = np.concatenate([self.levels[h], items])
+        self.n += other.n
+        self._compress()
+        return self
+
+    # --- queries (weight-sorted view, DoublesSketchSortedView.java:99-118) ---
+
+    def _sorted_view(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for h, lv in enumerate(self.levels):
+            if len(lv):
+                items.append(lv)
+                weights.append(np.full(len(lv), 2**h, dtype=np.int64))
+        if not items:
+            return np.empty(0, np.float64), np.empty(0, np.int64)
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], wt[order]
+
+    def get_quantile(self, rank: float) -> float:
+        """INCLUSIVE search criterion (QuantileSearchCriteria.java:41)."""
+        it, wt = self._sorted_view()
+        if len(it) == 0:
+            return float("nan")
+        cum = np.cumsum(wt)
+        pos = rank * self.n
+        idx = int(np.searchsorted(cum, pos, side="left"))
+        return float(it[min(idx, len(it) - 1)])
+
+    def get_rank(self, value: float) -> float:
+        it, wt = self._sorted_view()
+        if len(it) == 0:
+            return float("nan")
+        cum = np.cumsum(wt)
+        idx = int(np.searchsorted(it, value, side="right"))
+        return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
+
+    def get_cdf(self, split_points: np.ndarray) -> np.ndarray:
+        return np.array([self.get_rank(float(v)) for v in split_points] + [1.0])
+
+    def get_pmf(self, split_points: np.ndarray) -> np.ndarray:
+        cdf = self.get_cdf(split_points)
+        return np.diff(np.concatenate([[0.0], cdf]))
+
+    # --- serialization (versioned preamble, PreambleUtil discipline) ---
+
+    def serialize(self) -> bytes:
+        header = np.array(
+            [0x4B4C4C31, 1, self.k, self.n, len(self.levels), self._compactions],
+            dtype="<i8",
+        ).tobytes()
+        parts = [header]
+        for lv in self.levels:
+            parts.append(np.array([len(lv)], dtype="<i8").tobytes())
+            parts.append(np.asarray(lv, dtype="<f8").tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def deserialize(cls, buf: bytes, seed: int = 9001) -> "KllDoubles":
+        head = np.frombuffer(buf[:48], dtype="<i8")
+        if head[0] != 0x4B4C4C31 or head[1] != 1:
+            raise ValueError("bad KLL image")
+        sk = cls(k=int(head[2]), seed=seed)
+        sk.n = int(head[3])
+        sk._compactions = int(head[5])
+        n_levels = int(head[4])
+        sk.levels = []
+        off = 48
+        for _ in range(n_levels):
+            cnt = int(np.frombuffer(buf[off : off + 8], dtype="<i8")[0])
+            off += 8
+            sk.levels.append(
+                np.frombuffer(buf[off : off + 8 * cnt], dtype="<f8").astype(np.float64)
+            )
+            off += 8 * cnt
+        return sk

@@ -1,0 +1,205 @@
+"""KMV / Theta-style bottom-k signatures.
+
+The reference's Theta sketch retains the k smallest 63-bit hashes below
+a threshold θ (update kernel: theta/HeapQuickSelectSketch.java:233-261,
+rebuild via quickselect :294-306; estimate `count·2^63/θ`:
+theta/ThetaSketch.java:621-623). A compact ordered Theta sketch IS a
+bottom-k MinHash signature, and the reference's JaccardSimilarity
+(theta/JaccardSimilarity.java:57-98) composes union∘intersect over such
+signatures exactly as `jaccard_estimate` below. Set algebra mirrors
+ThetaUnionImpl.java:272-303 (θ_out = min θ, keep hashes < θ),
+ThetaIntersectionImpl.java:442-480 and ThetaAnotBimpl.java:83-98.
+
+Signatures are sorted non-negative int64 arrays (63-bit hash space), so
+Spark LongType round-trips preserve order. An empty array is the empty
+sketch (the union identity — the mergeability property that makes
+tree-reduction over partitions correct, SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+THETA_MAX = np.int64(0x7FFFFFFFFFFFFFFF)  # 2^63 - 1 ≈ "θ = 1.0"
+_TWO63 = float(2**63)
+
+
+def bottom_k_batch(
+    hashes: np.ndarray, rows: np.ndarray, n_rows: int, k: int
+) -> list[np.ndarray]:
+    """Per-row sorted bottom-k of deduped hashes, vectorized across the batch.
+
+    Replaces the reference's amortized quickselect rebuild
+    (theta/HeapQuickSelectSketch.java:294-306) with one lexsort per
+    Arrow batch (vectorization substitutes for amortization, SURVEY §4).
+    """
+    if len(hashes) == 0:
+        return [np.empty(0, np.int64)] * n_rows
+    order = np.lexsort((hashes, rows))
+    h, r = hashes[order], rows[order]
+    # drop duplicate (row, hash) pairs
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
+    h, r = h[keep], r[keep]
+    # rank within row
+    row_start = np.ones(len(r), dtype=bool)
+    row_start[1:] = r[1:] != r[:-1]
+    start_idx = np.nonzero(row_start)[0]
+    rank = np.arange(len(r)) - np.repeat(start_idx, np.diff(np.append(start_idx, len(r))))
+    sel = rank < k
+    h, r = h[sel], r[sel]
+    out: list[np.ndarray] = [np.empty(0, np.int64)] * n_rows
+    if len(r):
+        bounds = np.nonzero(np.diff(r))[0] + 1
+        pieces = np.split(h, bounds)
+        for row_id, piece in zip(r[np.append(0, bounds).astype(np.int64)], pieces):
+            out[int(row_id)] = piece.astype(np.int64)
+    return out
+
+
+def bottom_k(hashes: np.ndarray, k: int) -> np.ndarray:
+    """Sorted bottom-k of one hash set (deduped)."""
+    u = np.unique(np.asarray(hashes, dtype=np.int64))
+    if len(u) > k:
+        u = u[:k]
+    return u
+
+
+def theta_of(sig: np.ndarray, k: int) -> np.int64:
+    """θ of a bottom-k signature: k-th smallest if saturated, else 2^63."""
+    if len(sig) >= k:
+        return np.int64(sig[k - 1])
+    return THETA_MAX
+
+
+def union(sig_a: np.ndarray, sig_b: np.ndarray, k: int) -> np.ndarray:
+    """Theta union: θ = min(θs), keep bottom-k of merged hashes < θ
+    (ThetaUnionImpl.java:272-303; empty rule: union of empties is empty)."""
+    merged = np.unique(np.concatenate([sig_a, sig_b]))
+    th = min(theta_of(sig_a, k), theta_of(sig_b, k))
+    merged = merged[merged <= th]
+    return merged[:k]
+
+
+def union_many(sigs: list[np.ndarray], k: int) -> np.ndarray:
+    """n-way union (associative & commutative — merge-order invariant)."""
+    if not sigs:
+        return np.empty(0, np.int64)
+    th = min(theta_of(s, k) for s in sigs)
+    merged = np.unique(np.concatenate(sigs))
+    merged = merged[merged <= th]
+    return merged[:k]
+
+
+def intersect(sig_a: np.ndarray, sig_b: np.ndarray, k: int) -> np.ndarray:
+    """Theta intersection (ThetaIntersectionImpl.java:442-480)."""
+    th = min(theta_of(sig_a, k), theta_of(sig_b, k))
+    out = np.intersect1d(sig_a, sig_b)
+    return out[out <= th]
+
+
+def a_not_b(sig_a: np.ndarray, sig_b: np.ndarray, k: int) -> np.ndarray:
+    """Theta A-not-B (ThetaAnotBimpl.java:83-98,184-208)."""
+    th = min(theta_of(sig_a, k), theta_of(sig_b, k))
+    out = np.setdiff1d(sig_a, sig_b)
+    return out[out <= th]
+
+
+def estimate(sig: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: retained·2^63/θ (ThetaSketch.java:621-623).
+
+    Exact (== retained count) while the sketch is unsaturated.
+    """
+    if len(sig) < k:
+        return float(len(sig))
+    theta = float(sig[k - 1])
+    # k-1 retained strictly below θ → unbiased KMV estimator
+    return (k - 1) * _TWO63 / theta
+
+
+def estimate_bounds(sig: np.ndarray, k: int, num_std_dev: int = 2) -> tuple[float, float, float]:
+    """(lb, est, ub) — normal approximation of the binomial bounds the
+    reference computes in thetacommon/BinomialBoundsN.java:234-257
+    (RSE ≈ 1/sqrt(k-2) in estimation mode)."""
+    est = estimate(sig, k)
+    if len(sig) < k:
+        return est, est, est
+    rse = 1.0 / np.sqrt(max(k - 2, 1))
+    lb = max(float(len(sig)), est / (1.0 + num_std_dev * rse))
+    ub = est * (1.0 + num_std_dev * rse)
+    return lb, est, ub
+
+
+def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray, k: int) -> float:
+    """Jaccard estimate from two bottom-k signatures.
+
+    Mirrors JaccardSimilarity.jaccard (theta/JaccardSimilarity.java:57-98):
+    form the union sample at the common θ, then the fraction of the
+    union's retained hashes present in both sets estimates J.
+    """
+    if len(sig_a) == 0 and len(sig_b) == 0:
+        return 1.0  # reference: two empties are exactly equal (test :37-41)
+    if len(sig_a) == 0 or len(sig_b) == 0:
+        return 0.0
+    u = union(sig_a, sig_b, k)
+    if len(u) == 0:
+        return 0.0
+    in_a = np.isin(u, sig_a, assume_unique=True)
+    in_b = np.isin(u, sig_b, assume_unique=True)
+    return float(np.count_nonzero(in_a & in_b)) / float(len(u))
+
+
+def jaccard_bounds(
+    sig_a: np.ndarray, sig_b: np.ndarray, k: int, num_std_dev: float = 2.0
+) -> tuple[float, float, float]:
+    """(lb, est, ub) for Jaccard, per the reference's B-over-A ratio
+    bounds (thetacommon/BoundsOnRatiosInThetaSketchedSets.java:59-101),
+    here via the normal approximation of a binomial proportion over the
+    union sample."""
+    if len(sig_a) == 0 and len(sig_b) == 0:
+        return 1.0, 1.0, 1.0
+    if len(sig_a) == 0 or len(sig_b) == 0:
+        return 0.0, 0.0, 0.0
+    u = union(sig_a, sig_b, k)
+    n = len(u)
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    in_a = np.isin(u, sig_a, assume_unique=True)
+    in_b = np.isin(u, sig_b, assume_unique=True)
+    f = float(np.count_nonzero(in_a & in_b)) / n
+    sd = np.sqrt(max(f * (1.0 - f), 1.0 / n) / n)
+    return max(0.0, f - num_std_dev * sd), f, min(1.0, f + num_std_dev * sd)
+
+
+def jaccard_batch(
+    sigs_a: list[np.ndarray], sigs_b: list[np.ndarray], k: int
+) -> np.ndarray:
+    """Vectorized-ish pairwise Jaccard estimates for verification batches."""
+    out = np.empty(len(sigs_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(sigs_a, sigs_b)):
+        out[i] = jaccard_estimate(a, b, k)
+    return out
+
+
+# --- serialization: versioned little-endian preamble (PreambleUtil analog) ---
+
+_MAGIC = 0x4B4D5631  # "KMV1"
+
+
+def serialize(sig: np.ndarray, k: int) -> bytes:
+    """Compact byte image: magic, version, k, count, sorted hashes.
+
+    Mirrors the preamble discipline of theta/PreambleUtil.java so
+    checkpointed BinaryType columns stay stable across code versions.
+    """
+    header = np.array([_MAGIC, 1, k, len(sig)], dtype="<u4")
+    return header.tobytes() + np.asarray(sig, dtype="<i8").tobytes()
+
+
+def deserialize(buf: bytes) -> tuple[np.ndarray, int]:
+    header = np.frombuffer(buf[:16], dtype="<u4")
+    if header[0] != _MAGIC or header[1] != 1:
+        raise ValueError("bad KMV sketch image")
+    k, count = int(header[2]), int(header[3])
+    sig = np.frombuffer(buf[16 : 16 + 8 * count], dtype="<i8").astype(np.int64)
+    return sig, k

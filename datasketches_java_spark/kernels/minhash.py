@@ -1,0 +1,85 @@
+"""One-permutation MinHash (OPH) + LSH banding.
+
+Classic b×r LSH banding (Leskovec–Rajaraman–Ullman, MMDS ch.3) needs n
+independent minhash coordinates per row. Computing n permutations per
+shingle is O(m·n); instead we use one-permutation hashing with
+densification — O(m+n) per row — which is the only affordable shape at
+10^12 rows:
+  * OPH: Li, Owen, Zhang, "One Permutation Hashing" (NIPS 2012) — split
+    the hash range into n bins, keep the min per bin.
+  * Densification: Shrivastava & Li, "Densifying One Permutation
+    Hashing via Rotation" (ICML 2014) — empty bins borrow the value of
+    the nearest filled bin (here: doubling-shift borrow, deterministic,
+    O(n log n) per batch row, fully vectorized).
+
+The per-coordinate collision probability equals the Jaccard similarity,
+so banding math carries over: P(candidate) = 1 - (1 - J^r)^b.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import mix64, seed_mix
+
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def oph_signature_matrix(
+    hashes: np.ndarray, rows: np.ndarray, n_rows: int, n_bins: int, seed: int = 9001
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sig_matrix uint64[n_rows, n_bins], nonempty bool[n_rows]).
+
+    hashes: 63-bit shingle hashes (int64), rows: batch row per shingle.
+    Bin index = top bits of the hash (the "one permutation"); bin value
+    = the hash itself. Empty bins are densified by doubling-shift
+    borrow; fully-empty rows are flagged (caller emits null signature).
+    """
+    assert n_bins & (n_bins - 1) == 0, "n_bins must be a power of two"
+    shift = np.uint64(63 - int(np.log2(n_bins)))
+    mat = np.full((n_rows, n_bins), _EMPTY, dtype=np.uint64)
+
+    if len(hashes):
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        bins = (h >> shift).astype(np.int64)
+        key = np.asarray(rows, dtype=np.int64) * n_bins + bins
+        order = np.lexsort((h, key))
+        key_s, h_s = key[order], h[order]
+        first = np.ones(len(key_s), dtype=bool)
+        first[1:] = key_s[1:] != key_s[:-1]
+        mat.reshape(-1)[key_s[first]] = h_s[first]
+
+    nonempty_row = (mat != _EMPTY).any(axis=1)
+    # densify: doubling-shift borrow from the right (circular)
+    filled = mat != _EMPTY
+    step = 1
+    while step < n_bins:
+        rolled = np.roll(mat, -step, axis=1)
+        rolled_filled = np.roll(filled, -step, axis=1)
+        take = (~filled) & rolled_filled
+        mat[take] = rolled[take]
+        filled |= rolled_filled
+        step <<= 1
+    return mat, nonempty_row
+
+
+def band_hashes(
+    sig: np.ndarray, b: int, r: int, seed: int = 9001
+) -> np.ndarray:
+    """int64[n_rows, b] — one 63-bit key per band, band index mixed in
+    so identical r-tuples in different bands never collide."""
+    n_rows, n = sig.shape
+    assert n == b * r
+    bands = sig.reshape(n_rows, b, r)
+    acc = np.broadcast_to(seed_mix(seed), (n_rows, b)).copy()
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc = mix64(acc ^ bands[:, :, j])
+        band_idx = np.arange(b, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        acc = mix64(acc ^ band_idx[None, :])
+    return (acc >> np.uint64(1)).astype(np.int64)
+
+
+def expected_candidate_prob(j: float, b: int, r: int) -> float:
+    """P(two rows with Jaccard j share ≥1 band) = 1-(1-j^r)^b."""
+    return 1.0 - (1.0 - j**r) ** b

@@ -1,0 +1,120 @@
+"""Batch shingling: caption char-k shingles and whitespace tokens.
+
+All functions are vectorized across an Arrow/pandas batch: captions are
+concatenated into one uint8 buffer, shingles are sliding windows over
+that buffer with row-boundary masking — no per-row Python in the hot
+path. The reference's typed `update()` overloads
+(theta/UpdatableThetaSketch.java:257-375) canonicalize input to bytes
+before hashing; our analog is `normalize_captions` + UTF-8 encoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .hashing import hash63, hash_bytes_batch, mix64, seed_mix
+
+
+def normalize_captions(captions: pd.Series) -> pd.Series:
+    """NFC-normalize, casefold, collapse whitespace."""
+    s = captions.fillna("").astype(str)
+    s = s.str.normalize("NFC").str.casefold()
+    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def _flatten_utf8(strings: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate UTF-8 bytes of N strings → (data, starts, lens)."""
+    encoded = strings.str.encode("utf-8")
+    lens = encoded.str.len().to_numpy(dtype=np.int64)
+    data = np.frombuffer(b"".join(encoded.tolist()), dtype=np.uint8)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        starts[1:] = np.cumsum(lens[:-1])
+    return data, starts, lens
+
+
+def char_shingle_hashes(
+    captions: pd.Series, k: int = 5, seed: int = 9001
+) -> tuple[np.ndarray, np.ndarray]:
+    """63-bit hashes of all char-k shingles in a batch of captions.
+
+    Returns (hashes int64[M], rows int64[M]) where rows[i] is the batch
+    row index the i-th shingle belongs to. Rows shorter than k chars
+    contribute one whole-string shingle; empty rows contribute nothing.
+    Shingles are byte windows of the UTF-8 encoding (k <= 8 packs a
+    window into one uint64 before hashing).
+    """
+    if k > 8:
+        raise ValueError("char_shingle_hashes supports k <= 8 (packed uint64)")
+    n = len(captions)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    data, starts, lens = _flatten_utf8(captions)
+    total = len(data)
+    row_of_pos = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    out_h: list[np.ndarray] = []
+    out_r: list[np.ndarray] = []
+
+    if total >= k:
+        win = np.lib.stride_tricks.sliding_window_view(data, k)  # (total-k+1, k)
+        # valid window: start and end land in the same caption
+        valid = row_of_pos[: total - k + 1] == row_of_pos[k - 1 :]
+        # also require the row to be long enough (>= k)
+        packed = np.zeros(win.shape[0], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                packed = (packed << np.uint64(8)) | win[:, j].astype(np.uint64)
+        out_h.append(hash63(packed[valid], seed))
+        out_r.append(row_of_pos[: total - k + 1][valid])
+
+    short = (lens > 0) & (lens < k)
+    if short.any():
+        idx = np.nonzero(short)[0]
+        h = hash_bytes_batch(data, starts[idx], lens[idx], seed)
+        out_h.append((h >> np.uint64(1)).astype(np.int64))
+        out_r.append(idx.astype(np.int64))
+
+    if not out_h:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    hashes = np.concatenate(out_h)
+    rows = np.concatenate(out_r)
+    order = np.argsort(rows, kind="stable")
+    return hashes[order], rows[order]
+
+
+def token_hashes(
+    captions: pd.Series, seed: int = 9001
+) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hashes of whitespace tokens → (hashes uint64[M], rows int64[M])."""
+    n = len(captions)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    tok_lists = captions.fillna("").astype(str).str.split()
+    counts = tok_lists.str.len().to_numpy(dtype=np.int64)
+    flat = [t for toks in tok_lists for t in toks]
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if not flat:
+        return np.empty(0, np.uint64), rows
+    data, starts, lens = _flatten_utf8(pd.Series(flat))
+    return hash_bytes_batch(data, starts, lens, seed), rows
+
+
+def ngram_token_hashes(
+    captions: pd.Series, n_gram: int, seed: int = 9001
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of word n-grams (rolling combine of token hashes)."""
+    th, rows = token_hashes(captions, seed)
+    if n_gram <= 1 or len(th) == 0:
+        return th, rows
+    m = len(th)
+    if m < n_gram:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    acc = th[: m - n_gram + 1].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n_gram):
+            acc = mix64(acc ^ th[j : m - n_gram + 1 + j])
+        acc = mix64(acc ^ seed_mix(seed + n_gram))
+    valid = rows[: m - n_gram + 1] == rows[n_gram - 1 :]
+    return acc[valid], rows[: m - n_gram + 1][valid]

@@ -1,0 +1,40 @@
+"""SimHash — Charikar random-hyperplane signatures over token vectors.
+
+Not present in the reference (SURVEY.md §2a note); grounded in
+Charikar, "Similarity estimation techniques from rounding algorithms"
+(STOC 2002). 64-bit signature: for each token hash, each bit votes ±1;
+signature bit = sign of the vote sum. Hamming distance approximates
+angular distance between token multisets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import popcount64
+
+
+def simhash_batch(
+    token_h: np.ndarray, rows: np.ndarray, n_rows: int, weights: np.ndarray | None = None
+) -> np.ndarray:
+    """int64[n_rows] simhash from (token hash, row) pairs. Rows with no
+    tokens get signature 0."""
+    acc = np.zeros((n_rows, 64), dtype=np.int64)
+    if len(token_h):
+        bits = np.unpackbits(
+            np.asarray(token_h, dtype=np.uint64).view(np.uint8).reshape(-1, 8)[:, ::-1],
+            axis=1,
+        ).astype(np.int64)  # (M, 64), MSB first
+        votes = bits * 2 - 1
+        if weights is not None:
+            votes = votes * weights[:, None]
+        np.add.at(acc, np.asarray(rows, dtype=np.int64), votes)
+    out_bits = (acc > 0).astype(np.uint8)
+    packed = np.packbits(out_bits, axis=1)  # MSB-first bytes
+    return packed.view(">u8").reshape(-1).astype(np.uint64).astype(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-element Hamming distance of two int64 arrays."""
+    x = np.asarray(a).astype(np.uint64) ^ np.asarray(b).astype(np.uint64)
+    return popcount64(x)
