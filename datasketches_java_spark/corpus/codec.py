@@ -1,0 +1,117 @@
+"""Deterministic toy image codec + DCT perceptual hash.
+
+The container has no image libraries (BASELINE.md execution notes), so
+the `bytes` column holds a self-describing in-repo format ("TIMG"):
+a 12-byte header + zlib-compressed RGB payload. The *lossy* variant
+quantizes channels with step <= 5, which bounds quantization noise to
+uniform(±step/2) and guarantees the PSNR >= 40 dB per-row invariant
+(BASELINE.json:16) by construction while still exercising a real
+encode → decode → allclose check. A production deployment swaps
+`encode`/`decode` for PIL/turbojpeg behind the same signatures — the
+Spark-side plumbing (binary column, mapInPandas batch shape) is
+identical.
+
+pHash: classic DCT-based perceptual hash (Zauner 2010, "Implementation
+and Benchmarking of Perceptual Image Hash Functions"): 32x32 grayscale
+→ 2D DCT-II → top-left 8x8 low-frequency block → bits = coeff > median.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+MAGIC = b"TIMG"
+FMT_PNG = 0   # lossless
+FMT_JPEG = 1  # lossy (quantized)
+
+_FMT_NAME = {FMT_PNG: "png", FMT_JPEG: "jpeg"}
+_FMT_CODE = {"png": FMT_PNG, "jpeg": FMT_JPEG}
+
+
+def quality_to_step(quality: int) -> int:
+    """JPEG-ish quality (60..95) → quant step 1..5 (PSNR >= 44 dB at 5)."""
+    return max(1, min(5, 1 + (100 - int(quality)) // 10))
+
+
+def encode(img: np.ndarray, fmt: str = "png", quality: int = 90) -> bytes:
+    """img: uint8 (h, w, 3) → TIMG bytes."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    code = _FMT_CODE[fmt]
+    step = quality_to_step(quality) if code == FMT_JPEG else 1
+    payload = img
+    if step > 1:
+        payload = ((img.astype(np.int32) // step) * step + step // 2).clip(0, 255).astype(np.uint8)
+    header = MAGIC + bytes([1, code, step, 0]) + np.array([w, h], dtype="<u2").tobytes()
+    return header + zlib.compress(payload.tobytes(), 6)
+
+
+def decode(buf: bytes) -> tuple[np.ndarray, dict]:
+    """TIMG bytes → (uint8 (h, w, 3) pixels, meta). Raises on foreign formats.
+
+    Real JPEG/PNG/WebP decode would live here; without image libs in the
+    container it is stubbed per the driver instructions — the TIMG path
+    is fully real and tested.
+    """
+    if buf[:4] != MAGIC:
+        raise NotImplementedError(
+            "non-TIMG image format: real decoders (PIL/libjpeg) are not "
+            "available in this container; plug them in here"
+        )
+    version, code, step, _ = buf[4:8]
+    w, h = np.frombuffer(buf[8:12], dtype="<u2")
+    raw = zlib.decompress(buf[12:])
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w), 3)
+    return img, {"fmt": _FMT_NAME[code], "step": int(step), "w": int(w), "h": int(h),
+                 "version": int(version)}
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+        m[0, :] = 1.0 / np.sqrt(n)
+        _DCT32 = m
+    return _DCT32
+
+
+def _resize32(gray: np.ndarray) -> np.ndarray:
+    h, w = gray.shape
+    yi = (np.arange(32) * h // 32).clip(0, h - 1)
+    xi = (np.arange(32) * w // 32).clip(0, w - 1)
+    return gray[np.ix_(yi, xi)]
+
+
+def phash64(img: np.ndarray) -> np.int64:
+    """64-bit DCT perceptual hash of uint8 (h, w, 3) pixels."""
+    gray = img.astype(np.float64).mean(axis=2)
+    g = _resize32(gray)
+    d = _dct_matrix(32)
+    coeffs = d @ g @ d.T
+    block = coeffs[:8, :8].copy()
+    vals = block.reshape(-1)
+    med = np.median(vals[1:])  # exclude DC from the median
+    bits = (vals > med).astype(np.uint8)
+    bits[0] = 1 if vals[0] > vals[1:].mean() else 0
+    packed = np.packbits(bits)
+    return np.int64(packed.view(">u8")[0].astype(np.uint64).astype(np.int64))
+
+
+def phash_batch(bufs: list[bytes]) -> np.ndarray:
+    return np.array([phash64(decode(b)[0]) for b in bufs], dtype=np.int64)
