@@ -1,0 +1,90 @@
+"""Connected components over the verified edge list.
+
+Catalyst has no fixpoint operator (SURVEY.md §4 custom work #2), so
+this is a driver loop of DataFrame joins: min-label propagation with
+pointer jumping (label(x) ← label(label(x)) each round), which
+converges in O(log n) rounds even on path graphs — the degenerate
+shape our hot-band chain pairing produces. Equivalent to the
+two-phase large-star/small-star construction (Kiveris et al., "
+Connected Components in MapReduce and Beyond", SoCC 2014) but with
+half the joins per round.
+
+Each iteration `localCheckpoint`s the label table to truncate lineage
+(at production scale: write the label table to Iceberg and read it
+back — same call site, sources/tables.write_checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "image_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(id_a, id_b) + vertices(id_col) → (id_col, cluster_id,
+    cluster_size); cluster_id = min member id (oracle convention)."""
+    labels = vertices.select(
+        F.col(id_col).alias("x"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    sym = (
+        edges.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .unionByName(edges.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # neighbor-min: smallest label among my neighbors
+        neigh = (
+            sym.join(labels, sym["y"] == labels["x"])
+            .groupBy(sym["x"].alias("x"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "x", "left")
+            .select(
+                "x",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label(x) <- label(label(x))
+        l2 = new_labels.select(
+            F.col("x").alias("lx"), F.col("label").alias("llabel")
+        )
+        jumped = (
+            new_labels.join(l2, new_labels["label"] == l2["lx"], "left")
+            .select(
+                "x",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("x").alias(id_col),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+        )
+    )

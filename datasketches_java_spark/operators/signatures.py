@@ -1,0 +1,132 @@
+"""Signature map stage: corpus rows → sketch columns, one Arrow pass.
+
+Each batch computes, fully vectorized (no per-row Python):
+ - kmv_sig: bottom-k KMV/Theta signature of caption char-k shingles
+   (reference T1, theta/HeapQuickSelectSketch.java:233-261 semantics)
+ - bands: LSH band keys = 32 caption bands (OPH MinHash b=32 r=8) +
+   16 phash nibble bands (pigeonhole: Hamming<=15 ⇒ one nibble equal)
+ - simhash: 64-bit Charikar signature over caption tokens
+ - n_shingles: exact distinct shingle count (exact while < k, per the
+   Theta sketch's exact mode)
+
+This is the only stage that reads captions/bytes; everything after it
+moves only ids + fixed-size sketch columns across shuffles — at 100 TB
+that is the difference between shuffling terabytes and gigabytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, FROZEN
+from ..kernels import kmv
+from ..kernels.hashing import mix64, seed_mix
+from ..kernels.minhash import band_hashes, oph_signature_matrix
+from ..kernels.shingle import char_shingle_hashes, normalize_captions, token_hashes
+from ..kernels.simhash import simhash_batch
+
+SIG_SCHEMA = (
+    "image_id string, kmv_sig array<bigint>, bands array<bigint>, "
+    "pbands array<bigint>, simhash bigint, phash bigint, "
+    "n_shingles int, n_tokens int"
+)
+
+
+def phash_band_keys(phash: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
+    """int64[n, n_bands]: one key per phash block.
+
+    Splitting the 64-bit pHash into b blocks: any pair within Hamming
+    distance b-1 shares a block by pigeonhole; beyond that, detection
+    is probabilistic (≈0.95 at ham=8 for 8 blocks). Block keys are
+    kept in a separate column from caption bands because their bucket
+    space is much coarser and gets a tighter skew cap.
+    """
+    ph = np.asarray(phash, dtype=np.int64).astype(np.uint64)
+    width = np.uint64(64 // n_bands)
+    mask = np.uint64((1 << int(width)) - 1)
+    out = np.empty((len(ph), n_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        s = seed_mix(seed + 7777)
+        for i in range(n_bands):
+            nib = (ph >> (np.uint64(i) * width)) & mask
+            out[:, i] = mix64(nib ^ (np.uint64(i) * np.uint64(0xD1B54A32D192ED03)) ^ s)
+    return (out >> np.uint64(1)).astype(np.int64)
+
+
+def _signature_batches(cfg: DedupConfig):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            norm = normalize_captions(pdf["caption"])
+            h, rows = char_shingle_hashes(norm, cfg.shingle_k, cfg.seed)
+
+            kmv_sigs = kmv.bottom_k_batch(h, rows, n, cfg.kmv_k)
+            n_shingles = np.zeros(n, dtype=np.int32)
+            if len(rows):
+                uniq = pd.DataFrame({"r": rows, "h": h}).drop_duplicates()
+                cnt = uniq.groupby("r").size()
+                n_shingles[cnt.index.to_numpy()] = cnt.to_numpy()
+
+            mat, nonempty = oph_signature_matrix(h, rows, n, cfg.minhash_n, cfg.seed)
+            cap_bands = band_hashes(mat, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)
+            ph_bands = phash_band_keys(
+                pdf["phash"].to_numpy(np.int64), cfg.phash_bands, cfg.seed
+            )
+
+            th, trows = token_hashes(norm, cfg.seed)
+            sh = simhash_batch(th, trows, n)
+            n_tokens = np.zeros(n, dtype=np.int32)
+            if len(trows):
+                tc = pd.Series(trows).value_counts()
+                n_tokens[tc.index.to_numpy()] = tc.to_numpy()
+
+            empty = np.empty(0, np.int64)
+            bands_col = [cap_bands[i] if nonempty[i] else empty for i in range(n)]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "kmv_sig": kmv_sigs,
+                    "bands": bands_col,
+                    "pbands": list(ph_bands),
+                    "simhash": sh,
+                    "phash": pdf["phash"].to_numpy(np.int64),
+                    "n_shingles": n_shingles,
+                    "n_tokens": n_tokens,
+                }
+            )
+
+    return gen
+
+
+def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN) -> DataFrame:
+    """corpus (input_hint schema) → signature table.
+
+    Column pruning matters: select only what the kernel reads so the
+    parquet scan never materializes `bytes` (check ReadSchema in
+    .explain — the 100 TB of pixels stays on disk).
+    """
+    slim = corpus.select("image_id", "caption", "phash")
+    return slim.mapInPandas(_signature_batches(cfg), SIG_SCHEMA)
+
+
+def explode_bands(signatures: DataFrame) -> DataFrame:
+    """(image_id, band_key, is_phash) — one row per LSH band, tagged
+    with its channel so the skew cap can differ per channel."""
+    cap = signatures.select(
+        "image_id",
+        F.explode("bands").alias("band_key"),
+        F.lit(False).alias("is_phash"),
+    )
+    ph = signatures.select(
+        "image_id",
+        F.explode("pbands").alias("band_key"),
+        F.lit(True).alias("is_phash"),
+    )
+    return cap.unionByName(ph)

