@@ -1,0 +1,85 @@
+"""End-to-end dedup pipeline tests at the smoke tier (FIXTURES.md F1-F3):
+dup-pair recall >= 0.99 vs the exact golden oracle, cluster agreement,
+and checkpoint/resume reproducibility."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_java_spark.config import FROZEN
+from datasketches_java_spark.plans.pipeline import (
+    dup_pairs_caption,
+    recall_against_golden,
+    run_pipeline,
+)
+from datasketches_java_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def result(spark, smoke_sf_dir):
+    corpus = tables.load_corpus(spark, smoke_sf_dir)
+    return run_pipeline(spark, corpus, FROZEN)
+
+
+def test_recall_ge_099(spark, smoke_sf_dir, result):
+    golden = tables.load_golden(spark, smoke_sf_dir, "golden_pairs")
+    r = recall_against_golden(
+        dup_pairs_caption(result.verified), golden, FROZEN.jaccard_golden
+    )
+    assert r["golden_pairs"] > 500
+    assert r["recall"] >= 0.99, r
+
+
+def test_verified_pairs_have_bounds(result):
+    row = result.verified.filter(F.col("match_caption")).first()
+    assert row.jaccard_lb <= row.jaccard_est <= row.jaccard_ub
+
+
+def test_clusters_cover_golden_clusters(spark, smoke_sf_dir, result):
+    """Every golden cluster (>1 member) must map into one of our
+    clusters — our clustering may merge more (extra channels), never
+    split a golden cluster."""
+    golden = tables.load_golden(spark, smoke_sf_dir, "golden_clusters").select(
+        "image_id",
+        F.col("cluster_id").alias("gold_cluster"),
+        F.col("cluster_size").alias("gold_size"),
+    )
+    engine = result.clusters.select("image_id", F.col("cluster_id").alias("eng_cluster"))
+    joined = golden.join(engine, "image_id")
+    # for each golden cluster, count distinct engine cluster ids
+    split = (
+        joined.filter(F.col("gold_size") > 1)
+        .groupBy("gold_cluster")
+        .agg(F.countDistinct("eng_cluster").alias("n_engine"))
+        .filter(F.col("n_engine") > 1)
+        .count()
+    )
+    assert split == 0
+
+
+def test_checkpoint_resume_reproduces(spark, smoke_sf_dir, tmp_path):
+    """Kill-after-stage-k resumability (SURVEY.md §5 g): a second run
+    over existing checkpoints resumes and reproduces identical pairs."""
+    corpus = tables.load_corpus(spark, smoke_sf_dir)
+    root = str(tmp_path / "ckpt")
+    r1 = run_pipeline(spark, corpus, FROZEN, checkpoint_root=root)
+    assert r1.metrics["signatures_resumed"] is False
+    r2 = run_pipeline(spark, corpus, FROZEN, checkpoint_root=root)
+    assert r2.metrics["signatures_resumed"] is True
+    assert r2.metrics["verified_resumed"] is True
+    a = r1.verified.select("id_a", "id_b").sort("id_a", "id_b").collect()
+    b = r2.verified.select("id_a", "id_b").sort("id_a", "id_b").collect()
+    assert a == b
+    assert r1.metrics["verified_rows"] == r2.metrics["verified_rows"]
+
+
+def test_signature_stage_prunes_bytes_column(spark, smoke_sf_dir, result):
+    """The parquet scan under the signature stage must not read `bytes`
+    (100 TB of pixels stays on disk)."""
+    from datasketches_java_spark.operators.signatures import compute_signatures
+
+    corpus = tables.load_corpus(spark, smoke_sf_dir)
+    plan = compute_signatures(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "bytes" not in plan
+    assert "caption" in plan
