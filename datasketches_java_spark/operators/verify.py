@@ -36,15 +36,9 @@ def _verify_batches(cfg: DedupConfig):
             n = len(pdf)
             if n == 0:
                 continue
-            sig_a = pdf["sig_a"].tolist()
-            sig_b = pdf["sig_b"].tolist()
-            est = np.empty(n, np.float64)
-            lb = np.empty(n, np.float64)
-            ub = np.empty(n, np.float64)
-            for i in range(n):
-                a = np.asarray(sig_a[i], dtype=np.int64)
-                b = np.asarray(sig_b[i], dtype=np.int64)
-                lb[i], est[i], ub[i] = kmv.jaccard_bounds(a, b, cfg.kmv_k, 2.0)
+            sig_a = [np.asarray(s, np.int64) for s in pdf["sig_a"]]
+            sig_b = [np.asarray(s, np.int64) for s in pdf["sig_b"]]
+            lb, est, ub = kmv.jaccard_bounds_batch(sig_a, sig_b, cfg.kmv_k, 2.0)
             sh = hamming64(
                 pdf["sim_a"].to_numpy(np.int64), pdf["sim_b"].to_numpy(np.int64)
             )

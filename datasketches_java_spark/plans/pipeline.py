@@ -80,6 +80,8 @@ def run_pipeline(
         spark, checkpoint_root, "candidates",
         lambda: candidate_pairs(explode_bands(signatures), cfg), metrics,
     )
+    if checkpoint_root is None:
+        candidates = candidates.persist()
     verified = _stage(
         spark, checkpoint_root, "verified",
         lambda: verify_pairs(candidates, signatures, cfg), metrics,

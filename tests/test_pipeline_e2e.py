@@ -61,7 +61,7 @@ def test_clusters_cover_golden_clusters(spark, smoke_sf_dir, result):
 def test_checkpoint_resume_reproduces(spark, smoke_sf_dir, tmp_path):
     """Kill-after-stage-k resumability (SURVEY.md §5 g): a second run
     over existing checkpoints resumes and reproduces identical pairs."""
-    corpus = tables.load_corpus(spark, smoke_sf_dir)
+    corpus = tables.load_corpus(spark, smoke_sf_dir).limit(400)
     root = str(tmp_path / "ckpt")
     r1 = run_pipeline(spark, corpus, FROZEN, checkpoint_root=root)
     assert r1.metrics["signatures_resumed"] is False
