@@ -1,38 +1,341 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship near-dup pipeline on the sf0.001
+corpus. `queries()` exposes one entry per implemented operator family
+(SURVEY.md §2 + training-data extras); oracle-checkable ones have a
+DuckDB twin in `oracle_sql()` (integer/string outputs only, so
+value hashes can't diverge on float ulps). Sketch-estimate and
+LSH-pipeline queries are deliberately oracle-free (rows-only check) —
+their accuracy contracts are asserted in tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datasketches_java_spark.config import FROZEN, DedupConfig  # noqa: E402
+
+# text-only tables: no image channel
+TEXT_CFG = DedupConfig(phash_bands=0, phash_max_hamming=-1)
+
+_STOP_SQL = "('the','of','and','a','to','in','is','it')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: caption-channel duplicate pairs on the sf0.001 corpus."""
+    from datasketches_java_spark.plans.pipeline import dup_pairs_caption, run_pipeline
+    from datasketches_java_spark.sources import tables
+
+    corpus = tables.load_corpus(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, corpus, FROZEN)
+    return dup_pairs_caption(res.verified)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_exact_dedup(spark, sf_dir):
+    from datasketches_java_spark.operators.dedup_relational import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from datasketches_java_spark.operators.dedup_relational import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 5, 0.8)
+
+
+def _q_token_count(spark, sf_dir):
+    from datasketches_java_spark.functions.text import token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    from datasketches_java_spark.functions.text import quality_columns
+
+    d = _docs(spark, sf_dir)
+    cols = quality_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in cols.items()],
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from datasketches_java_spark.functions.text import lang_id
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    from datasketches_java_spark.functions.text import fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text"), 8).alias("fingerprint")
+    )
+
+
+def _q_embedding_topk_ip(spark, sf_dir):
+    from datasketches_java_spark.operators.similarity import brute_force_topk_ip
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return brute_force_topk_ip(emb, "vec_id", "embedding", 5)
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    d = F.col("l_discount").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(20,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (F.lit(1).cast("decimal(12,2)") - d)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "count_order",
+        )
+    )
+
+
+def _q_events_by_type(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ----- rows-only (sketch / LSH / corpus queries; accuracy gated in tests/) --
+
+def _q_minhash_dup_docs(spark, sf_dir):
+    """LSH near-dup pairs over `documents` via the sketch pipeline."""
+    from datasketches_java_spark.plans.pipeline import dup_pairs_caption
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    from datasketches_java_spark.plans.pipeline import run_pipeline_cached
+
+    res = run_pipeline_cached(spark, d, TEXT_CFG, f"docs:{sf_dir}")
+    return dup_pairs_caption(res.verified)
+
+
+def _q_kmv_distinct_by_source(spark, sf_dir):
+    """Theta/KMV distinct-count estimate with bounds per source
+    (reference T1/T2; exactness asserted vs binomial bounds in tests)."""
+    from datasketches_java_spark.functions.sketch_udfs import kmv_distinct_agg
+
+    return kmv_distinct_agg(
+        _docs(spark, sf_dir), group_col="source", value_col="text"
+    )
+
+
+def _q_hll_users_by_type(spark, sf_dir):
+    """Spark built-in DataSketches HLL (same algorithm as reference hll/)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "approx_users"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_embedding_topk_cosine(spark, sf_dir):
+    from datasketches_java_spark.operators.similarity import brute_force_topk_cosine
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return brute_force_topk_cosine(emb, "vec_id", "embedding", 5)
+
+
+def _q_embedding_topk_lsh(spark, sf_dir):
+    from datasketches_java_spark.operators.similarity import lsh_topk_cosine
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_topk_cosine(emb, "vec_id", "embedding", 5, n_planes=6)
+
+
+def _corpus_result(spark, sf_dir):
+    from datasketches_java_spark.plans.pipeline import run_pipeline_cached
+    from datasketches_java_spark.sources import tables
+
+    corpus = tables.load_corpus(spark, sf_dir)
+    return corpus, run_pipeline_cached(spark, corpus, FROZEN, f"corpus:{sf_dir}")
+
+
+def _q_corpus_dup_pairs(spark, sf_dir):
+    from datasketches_java_spark.plans.pipeline import dup_pairs_caption
+
+    _, res = _corpus_result(spark, sf_dir)
+    return dup_pairs_caption(res.verified)
+
+
+def _q_corpus_clusters(spark, sf_dir):
+    _, res = _corpus_result(spark, sf_dir)
+    return res.clusters.filter(F.col("cluster_size") > 1)
+
+
+def _q_corpus_cluster_audits(spark, sf_dir):
+    from datasketches_java_spark.operators.audits import cluster_audits
+
+    corpus, res = _corpus_result(spark, sf_dir)
+    return cluster_audits(spark, res.clusters, res.signatures, FROZEN, corpus)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # oracle-checked (DuckDB twin below)
+        "exact_dedup_groups": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "embedding_topk_ip": _q_embedding_topk_ip,
+        "tpch_q1": _q_tpch_q1,
+        "events_by_type": _q_events_by_type,
+        # rows-only (non-SQL-expressible sketch/LSH ops)
+        "minhash_dup_docs": _q_minhash_dup_docs,
+        "kmv_distinct_by_source": _q_kmv_distinct_by_source,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "embedding_topk_cosine": _q_embedding_topk_cosine,
+        "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "corpus_dup_pairs": _q_corpus_dup_pairs,
+        "corpus_clusters": _q_corpus_clusters,
+        "corpus_cluster_audits": _q_corpus_cluster_audits,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_groups": """
+            SELECT min(doc_id) AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS dup_count,
+                   md5(text) AS text_md5
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct([substring(text, i, 5)
+                        for i in generate_series(1, greatest(length(text)-4, 1))])) AS sh
+              FROM documents
+            ), c AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS intersect_ct
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, intersect_ct,
+                   CAST(ca.n + cb.n - intersect_ct AS BIGINT) AS union_ct
+            FROM inter
+            JOIN c ca ON ca.id = id_a
+            JOIN c cb ON cb.id = id_b
+            WHERE 5 * intersect_ct >= 4 * (ca.n + cb.n - intersect_ct)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                     AS n_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS nc,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt,
+                     CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct,
+                     CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                          t -> t IN {_STOP_SQL})) AS BIGINT) AS stop,
+                     CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ws
+              FROM documents
+            )
+            SELECT doc_id, nc AS n_chars_calc, nt AS n_tokens,
+                   CAST(CASE WHEN nc <= 0 THEN 0 ELSE (20000*punct + nc) // (2*nc) END AS BIGINT) AS punct_bp,
+                   CAST(CASE WHEN nt <= 0 THEN 0 ELSE (20000*stop + nt) // (2*nt) END AS BIGINT) AS stopword_bp,
+                   CAST(CASE WHEN nc <= 0 THEN 0 ELSE (20000*ws + nc) // (2*nc) END AS BIGINT) AS ws_bp
+            FROM f
+        """,
+        "lang_id": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt,
+                     CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                          t -> t IN {_STOP_SQL})) AS BIGINT) AS stop
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN (CASE WHEN nt <= 0 THEN 0
+                              ELSE (20000*stop + nt) // (2*nt) END) >= 200
+                        THEN 'en' ELSE 'und' END AS lang_pred
+            FROM f
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_min([md5(substring(text, i, 8))
+                       for i in generate_series(1, greatest(length(text)-7, 1))]) AS fingerprint
+            FROM documents
+        """,
+        "embedding_topk_ip": """
+            WITH q AS (
+              SELECT vec_id AS id,
+                     [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS q
+              FROM embeddings
+            ), scored AS (
+              SELECT a.id AS vec_id, b.id AS neighbor_id,
+                     CAST(list_sum([a.q[i] * b.q[i]
+                         for i in generate_series(1, len(a.q))]) AS BIGINT) AS dot_q
+              FROM q a, q b WHERE a.id != b.id
+            )
+            SELECT vec_id, neighbor_id, dot_q,
+                   CAST(row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dot_q DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+    }

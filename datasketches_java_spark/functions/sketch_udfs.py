@@ -1,0 +1,119 @@
+"""Sketch aggregations as Arrow-grouped UDAFs.
+
+`kmv_distinct_agg` is the Spark face of the Theta/KMV distinct-count
+lifecycle (SURVEY.md §3.1): per-group vectorized hash → bottom-k →
+estimate with binomial bounds (theta/ThetaSketch.java:621-623 estimate,
+thetacommon/BinomialBoundsN.java bounds). The group stage is Spark's
+partial/final aggregation; within a group, applyInPandas streams Arrow
+batches so signature state stays O(k) regardless of group size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT_UPDATE_SEED
+from ..kernels import kmv
+from ..kernels.hashing import hash_bytes_batch
+from ..kernels.shingle import _flatten_utf8
+
+
+def _hash_strings(values: pd.Series, seed: int) -> np.ndarray:
+    data, starts, lens = _flatten_utf8(values.fillna("").astype(str))
+    return (hash_bytes_batch(data, starts, lens, seed) >> np.uint64(1)).astype(np.int64)
+
+
+def kmv_distinct_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 4096,  # reference default nominal entries, thetacommon/ThetaUtil.java:55
+    seed: int = DEFAULT_UPDATE_SEED,
+) -> DataFrame:
+    """Per-group distinct-count estimate with 2SD bounds.
+
+    Two-level, like Catalyst's partial/final split: (1) mapInPandas
+    builds one serialized sketch per (arrow batch, group) — map-side
+    combine, so only O(k) bytes per group cross the shuffle; (2) the
+    grouped merge unions sketches (ThetaUnionImpl semantics). A group
+    of 10^10 rows never materializes in one pandas frame.
+    Output: (group, distinct_est, distinct_lb, distinct_ub, retained).
+    """
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = _hash_strings(pdf[value_col], seed)
+            groups: dict = {}
+            codes, uniques = pd.factorize(pdf[group_col])
+            for gi, gname in enumerate(uniques):
+                sig = kmv.bottom_k(h[codes == gi], k)
+                groups[gname] = kmv.serialize(sig, k)
+            yield pd.DataFrame(
+                {group_col: list(groups.keys()), "sketch": list(groups.values())}
+            )
+
+    partials = df.select(group_col, value_col).mapInPandas(
+        partial, f"{group_col} string, sketch binary"
+    )
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sigs = [kmv.deserialize(b)[0] for b in pdf["sketch"]]
+        u = kmv.union_many(sigs, k)
+        lb, est, ub = kmv.estimate_bounds(u, k, 2)
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "distinct_est": [est],
+                "distinct_lb": [lb],
+                "distinct_ub": [ub],
+                "retained": [len(u)],
+            }
+        )
+
+    schema = (
+        f"{group_col} string, distinct_est double, distinct_lb double, "
+        "distinct_ub double, retained bigint"
+    )
+    return partials.groupBy(group_col).applyInPandas(final, schema)
+
+
+def kmv_sketch_bytes_agg(
+    df: DataFrame, group_col: str, value_col: str, k: int = 4096,
+    seed: int = DEFAULT_UPDATE_SEED,
+) -> DataFrame:
+    """Per-group serialized KMV sketch (BinaryType) — the mergeable
+    partial-aggregate form that crosses checkpoints/shuffles, the
+    analog of CompactThetaSketch.toByteArray (theta/ThetaSketch.java:423)."""
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_strings(pdf[value_col], seed)
+        sig = kmv.bottom_k(h, k)
+        return pd.DataFrame({group_col: [key[0]], "sketch": [kmv.serialize(sig, k)]})
+
+    return (
+        df.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(agg, f"{group_col} string, sketch binary")
+    )
+
+
+def kmv_merge_sketches(sketches: list[bytes]) -> tuple[float, float, float]:
+    """Driver-side final merge of serialized sketches → (lb, est, ub).
+    Union is associative/commutative, so any merge tree is equivalent
+    (ThetaUnionImpl semantics)."""
+    sigs = []
+    k = None
+    for b in sketches:
+        sig, kk = kmv.deserialize(b)
+        sigs.append(sig)
+        k = kk if k is None else min(k, kk)
+    if k is None:
+        return 0.0, 0.0, 0.0
+    u = kmv.union_many(sigs, k)
+    return kmv.estimate_bounds(u, k, 2)

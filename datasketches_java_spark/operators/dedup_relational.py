@@ -1,0 +1,64 @@
+"""Relational dedup operators over text tables — pure DataFrame ops.
+
+Exact dedup is a hash groupBy; n-gram Jaccard dedup is the exact
+similarity self-join (shingle postings → pair intersection counts →
+integer threshold test), the relational twin of the sketch pipeline.
+At 100 TB the exact join is only viable after the LSH prefilter; here
+it doubles as the oracle-checkable query (thresholds compare as exact
+integers: t=p/q ⇒ q·|A∩B| >= p·|A∪B|, no float divergence).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: canonical (min) id, dup count, md5."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("canonical_id", "dup_count", "text_md5")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """All id pairs with exact char-k shingle Jaccard >= threshold.
+
+    Output: (id_a, id_b, intersect_ct, union_ct) — integers only.
+    """
+    frac = Fraction(threshold).limit_denominator(1000)
+    p, q = frac.numerator, frac.denominator
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    counts = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("intersect_ct"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("union_ct", F.col("na") + F.col("nb") - F.col("intersect_ct"))
+        .filter(F.lit(q) * F.col("intersect_ct") >= F.lit(p) * F.col("union_ct"))
+        .select("id_a", "id_b", "intersect_ct", "union_ct")
+    )

@@ -76,9 +76,12 @@ def _signature_batches(cfg: DedupConfig):
 
             mat, nonempty = oph_signature_matrix(h, rows, n, cfg.minhash_n, cfg.seed)
             cap_bands = band_hashes(mat, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)
-            ph_bands = phash_band_keys(
-                pdf["phash"].to_numpy(np.int64), cfg.phash_bands, cfg.seed
-            )
+            if cfg.phash_bands > 0:
+                ph_bands = phash_band_keys(
+                    pdf["phash"].to_numpy(np.int64), cfg.phash_bands, cfg.seed
+                )
+            else:  # text-only tables: no image channel
+                ph_bands = np.empty((n, 0), dtype=np.int64)
 
             th, trows = token_hashes(norm, cfg.seed)
             sh = simhash_batch(th, trows, n)
@@ -112,7 +115,11 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN) -> DataFram
     parquet scan never materializes `bytes` (check ReadSchema in
     .explain — the 100 TB of pixels stays on disk).
     """
-    slim = corpus.select("image_id", "caption", "phash")
+    cols = ["image_id", "caption"]
+    if "phash" in corpus.columns:
+        slim = corpus.select(*cols, "phash")
+    else:
+        slim = corpus.select(*cols, F.lit(0).cast("bigint").alias("phash"))
     return slim.mapInPandas(_signature_batches(cfg), SIG_SCHEMA)
 
 

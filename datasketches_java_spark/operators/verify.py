@@ -56,7 +56,11 @@ def _verify_batches(cfg: DedupConfig):
                     "phash_hamming": ph.astype(np.int32),
                     "match_caption": est >= cfg.jaccard_verify,
                     "match_simhash": sh <= cfg.simhash_max_hamming,
-                    "match_phash": ph <= cfg.phash_max_hamming,
+                    "match_phash": (
+                        ph <= cfg.phash_max_hamming
+                        if cfg.phash_max_hamming >= 0
+                        else np.zeros(n, dtype=bool)
+                    ),
                 }
             )
 

@@ -34,6 +34,19 @@ class PipelineResult:
     metrics: dict = field(default_factory=dict)
 
 
+# memoized results for repeated queries over the same corpus in one session
+_RESULT_CACHE: dict = {}
+
+
+def run_pipeline_cached(
+    spark: SparkSession, corpus: DataFrame, cfg: DedupConfig, cache_key: str
+) -> PipelineResult:
+    key = (id(spark), cache_key, cfg.config_hash())
+    if key not in _RESULT_CACHE:
+        _RESULT_CACHE[key] = run_pipeline(spark, corpus, cfg)
+    return _RESULT_CACHE[key]
+
+
 def _stage(
     spark: SparkSession,
     root: str | None,
