@@ -44,13 +44,15 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_max_hamming: int = 3
     phash_max_hamming: int = 8
-    # 8 x 8-bit pHash blocks: P(some block intact | ham=8) ≈ 0.95, and 256
-    # bucket values per block stay above the chain-pairing cap only for
-    # pathological corpora. (A 4-bit split guarantees ham<=15 by pigeonhole
-    # but its 16 buckets go quadratic — measured 1.3M candidates on a 2k
-    # corpus. True web scale would use multi-index hashing tables,
-    # Norouzi et al. 2012.)
-    phash_bands: int = 8
+    # 4 x 16-bit pHash blocks. Bucket space 65536 per block keeps random
+    # collisions ~n²/65536 (linear-ish at our tiers) where 8-bit blocks
+    # measured 3.7M candidates on a 20k corpus (quadratic death at web
+    # scale). Detection: guaranteed ham<=3 by pigeonhole, probabilistic
+    # above — the image channel targets (near-)exact pixel dups; cropped
+    # variants land at ham 12-18 and are owned by the caption channel.
+    # Full ham<=8 image-only search = multi-index hashing with 1-bit
+    # flip enumeration (Norouzi et al. 2012), a follow-up operator.
+    phash_bands: int = 4
 
     # skew control: band groups larger than the cap fall back to
     # sorted-neighbor chain pairing (connectivity preserved, O(g) pairs)

@@ -46,9 +46,15 @@ _SCHEMA = pa.schema(
 )
 
 
+def _corpus_tag(cfg: DedupConfig) -> str:
+    """Corpus+golden depend only on (shingle_k, seed, jaccard_golden) —
+    don't regenerate 200k rows because an LSH knob moved."""
+    return f"k{cfg.shingle_k}_h{cfg.seed}_j{cfg.jaccard_golden}"
+
+
 def corpus_dir(n_rows: int, cfg: DedupConfig = FROZEN, seed: int = 42) -> str:
     """Path to the cached corpus for (n_rows, cfg, seed); generates on miss."""
-    tag = f"n{n_rows}_s{seed}_{cfg.config_hash()}"
+    tag = f"n{n_rows}_s{seed}_{_corpus_tag(cfg)}"
     final = os.path.join(CACHE_ROOT, tag)
     if os.path.isdir(final) and os.path.exists(os.path.join(final, "_SUCCESS")):
         return final

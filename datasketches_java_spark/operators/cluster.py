@@ -27,14 +27,23 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """edges(id_a, id_b) + vertices(id_col) → (id_col, cluster_id,
-    cluster_size); cluster_id = min member id (oracle convention)."""
-    labels = vertices.select(
-        F.col(id_col).alias("x"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    cluster_size); cluster_id = min member id (oracle convention).
 
+    Only vertices that appear in an edge enter the iteration — at web
+    scale the overwhelming majority of rows are singletons and must not
+    pay the per-iteration shuffles; they rejoin as size-1 clusters at
+    the end."""
     sym = (
         edges.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .unionByName(edges.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+        .localCheckpoint()
+    )
+
+    # alias() forces fresh exprIds so joining labels back to sym is not
+    # flagged as an ambiguous self-join
+    labels = (
+        sym.select("x").distinct()
+        .select(F.col("x").alias("x"), F.col("x").alias("label"))
         .localCheckpoint()
     )
 
@@ -80,11 +89,18 @@ def connected_components(
             break
 
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
+    connected = labels.join(sizes, "label").select(
+        F.col("x").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+    )
+    singletons = (
+        vertices.select(F.col(id_col))
+        .join(labels.select(F.col("x").alias(id_col)), id_col, "left_anti")
         .select(
-            F.col("x").alias(id_col),
-            F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("int").alias("cluster_size"),
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(1).cast("int").alias("cluster_size"),
         )
     )
+    return connected.unionByName(singletons)

@@ -120,7 +120,12 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN) -> DataFram
         slim = corpus.select(*cols, "phash")
     else:
         slim = corpus.select(*cols, F.lit(0).cast("bigint").alias("phash"))
-    return slim.mapInPandas(_signature_batches(cfg), SIG_SCHEMA)
+    # Input splits follow file layout (maxPartitionBytes), which for a
+    # byte-heavy corpus can mean 1-2 splits of the *projected* columns —
+    # starving the CPU-bound kernel. Re-spread the slim projection (a
+    # few MB of captions, never the pixels) across all cores.
+    par = slim.sparkSession.sparkContext.defaultParallelism
+    return slim.repartition(par).mapInPandas(_signature_batches(cfg), SIG_SCHEMA)
 
 
 def explode_bands(signatures: DataFrame) -> DataFrame:
