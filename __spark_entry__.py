@@ -175,7 +175,7 @@ def _q_embedding_topk_lsh(spark, sf_dir):
     from datasketches_java_spark.operators.similarity import lsh_topk_cosine
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return lsh_topk_cosine(emb, "vec_id", "embedding", 5, n_planes=6)
+    return lsh_topk_cosine(emb, "vec_id", "embedding", 5, n_planes=6, n_tables=8)
 
 
 def _corpus_result(spark, sf_dir):

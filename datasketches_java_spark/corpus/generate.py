@@ -114,9 +114,13 @@ def make_corpus(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame
     def emit(img: np.ndarray, caption: str, fmt: str, quality: int,
              group_id: int, variant: str, raw_bytes: bytes | None = None) -> None:
         buf = raw_bytes if raw_bytes is not None else codec.encode(img, fmt, quality)
+        # phash is defined over what the stored bytes decode to — for
+        # lossy rows the quantized pixels, exactly as a real ingest
+        # pipeline (decode → phash) would compute it
+        stored = codec.decode(buf)[0]
         records.append(
             dict(bytes=buf, w=img.shape[1], h=img.shape[0], fmt=fmt,
-                 caption=caption, phash=int(codec.phash64(img)))
+                 caption=caption, phash=int(codec.phash64(stored)))
         )
         truth.append(dict(group_id=group_id, variant=variant))
 

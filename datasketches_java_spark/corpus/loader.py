@@ -46,10 +46,13 @@ _SCHEMA = pa.schema(
 )
 
 
+GEN_VERSION = 2  # bump to invalidate caches when generator semantics change
+
+
 def _corpus_tag(cfg: DedupConfig) -> str:
     """Corpus+golden depend only on (shingle_k, seed, jaccard_golden) —
     don't regenerate 200k rows because an LSH knob moved."""
-    return f"k{cfg.shingle_k}_h{cfg.seed}_j{cfg.jaccard_golden}"
+    return f"v{GEN_VERSION}_k{cfg.shingle_k}_h{cfg.seed}_j{cfg.jaccard_golden}"
 
 
 def corpus_dir(n_rows: int, cfg: DedupConfig = FROZEN, seed: int = 42) -> str:

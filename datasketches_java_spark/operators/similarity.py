@@ -132,29 +132,35 @@ def srp_bucket(vec, n_planes: int = 16, seed: int = 9001):
 
 def lsh_topk_cosine(
     df: DataFrame, id_col: str, vec_col: str, topk: int = 5,
-    n_planes: int = 8, seed: int = 9001,
+    n_planes: int = 4, n_tables: int = 8, seed: int = 9001,
 ) -> DataFrame:
-    """Bucketed ANN: score only within SRP buckets (2^n_planes cells).
-
-    The scale path: turns the O(n²) cross join into a per-bucket join;
-    recall is tunable via n_planes (fewer planes → bigger buckets →
-    higher recall, more compute).
+    """Multi-table bucketed ANN: L independent SRP tables; candidates
+    are pairs sharing a bucket in ANY table; exact cosine within
+    candidates. Recall for a neighbor at collision prob p per table is
+    1-(1-p)^L — the classic LSH recall/compute dial (MMDS ch.3). Turns
+    the O(n²) cross join into per-bucket joins.
     """
+    buckets = F.array(*[
+        srp_bucket(F.col(vec_col), n_planes, seed + 101 * t) for t in range(n_tables)
+    ])
     with_b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        srp_bucket(F.col(vec_col), n_planes, seed).alias("bucket"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.posexplode(buckets).alias("table_idx", "bucket"),
     )
     a = with_b.select(
-        F.col("id").alias("vec_id"), F.col("v").alias("va"), "bucket"
+        F.col("id").alias("vec_id"), F.col("v").alias("va"), "table_idx", "bucket"
     )
     b = with_b.select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "bucket"
+        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "table_idx", "bucket"
     )
-    scored = (
-        a.join(b, "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", _cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("vec_id", "neighbor_id", "va", "vb")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "vec_id", "neighbor_id", _cosine(F.col("va"), F.col("vb")).alias("cosine")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

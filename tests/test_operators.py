@@ -1,0 +1,158 @@
+"""Operator tests: relational dedup, similarity, sketch UDAFs,
+multimodal plumbing, audits — all against exact oracles computed
+in pandas/DuckDB at small scale."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, smoke_sf_dir):
+    return spark.read.parquet(f"{smoke_sf_dir}/documents.parquet")
+
+
+def test_exact_dedup_groups(spark):
+    from datasketches_java_spark.operators.dedup_relational import exact_dedup_groups
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id bigint, t string"
+    )
+    out = {r.text_md5: (r.canonical_id, r.dup_count)
+           for r in exact_dedup_groups(df, "id", "t").collect()}
+    assert len(out) == 2
+    assert (1, 3) in out.values() and (2, 1) in out.values()
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    from datasketches_java_spark.operators.dedup_relational import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.5).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+
+    def sset(t):
+        return {t[i:i + 5] for i in range(max(1, len(t) - 4))}
+
+    expect = set()
+    sets = {r.doc_id: sset(r.text) for r in pdf.itertuples()}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 2 * inter >= union:  # J >= 0.5
+                expect.add((a, b))
+    assert set(zip(got["id_a"], got["id_b"])) == expect
+
+
+def test_kmv_distinct_agg_accuracy(spark, docs):
+    """Estimate within binomial bounds and near-exact when unsaturated
+    (the Theta sketch's exact mode below k)."""
+    from datasketches_java_spark.functions.sketch_udfs import kmv_distinct_agg
+
+    out = kmv_distinct_agg(docs, "source", "text", k=4096).toPandas()
+    exact = (
+        docs.groupBy("source").agg(F.countDistinct("text").alias("n")).toPandas()
+        .set_index("source")["n"]
+    )
+    for r in out.itertuples():
+        true = exact[getattr(r, "source")]
+        assert r.distinct_lb <= true <= r.distinct_ub
+        if r.retained < 4096:
+            assert r.distinct_est == true  # exact mode
+
+
+def test_kmv_sketch_bytes_merge(spark, docs):
+    from datasketches_java_spark.functions.sketch_udfs import (
+        kmv_merge_sketches,
+        kmv_sketch_bytes_agg,
+    )
+
+    sk = kmv_sketch_bytes_agg(docs, "source", "text", k=4096).toPandas()
+    lb, est, ub = kmv_merge_sketches([bytes(b) for b in sk["sketch"]])
+    true = docs.select("text").distinct().count()
+    assert lb <= true <= ub
+    assert est == true  # unsaturated at smoke scale
+
+
+def test_embedding_topk_matches_numpy(spark, smoke_sf_dir):
+    from datasketches_java_spark.operators.similarity import brute_force_topk_cosine
+
+    emb = spark.read.parquet(f"{smoke_sf_dir}/embeddings.parquet")
+    got = brute_force_topk_cosine(emb, "vec_id", "embedding", 3).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    for qi in range(min(20, len(ids))):
+        order = np.lexsort((ids, -sims[qi]))[:3]
+        expect = set(ids[order])
+        mine = set(got[got["vec_id"] == ids[qi]]["neighbor_id"])
+        assert mine == expect, (ids[qi], mine, expect)
+
+
+def test_lsh_topk_recall(spark, smoke_sf_dir):
+    """Bucketed ANN recall vs brute force (same-label vectors cluster)."""
+    from datasketches_java_spark.operators.similarity import (
+        brute_force_topk_cosine,
+        lsh_topk_cosine,
+    )
+
+    emb = spark.read.parquet(f"{smoke_sf_dir}/embeddings.parquet")
+    bf = brute_force_topk_cosine(emb, "vec_id", "embedding", 1).toPandas()
+    ann = lsh_topk_cosine(emb, "vec_id", "embedding", 1, n_planes=4).toPandas()
+    merged = bf.merge(ann, on="vec_id", suffixes=("_bf", "_ann"))
+    recall = (merged["neighbor_id_bf"] == merged["neighbor_id_ann"]).mean()
+    assert recall >= 0.5, recall  # 4 planes, top-1: generous floor
+
+
+def test_multimodal_decode_features(spark, smoke_sf_dir):
+    from datasketches_java_spark.operators.multimodal import decode_features
+    from datasketches_java_spark.sources import tables
+
+    corpus = tables.load_corpus(spark, smoke_sf_dir).limit(200)
+    out = decode_features(corpus).toPandas()
+    assert out["decode_ok"].all()
+    src = corpus.select("image_id", "phash", "w", "h").toPandas().set_index("image_id")
+    for r in out.itertuples():
+        assert r.phash_check == src.loc[r.image_id, "phash"]  # stored == recomputed
+        assert r.w == src.loc[r.image_id, "w"]
+
+
+def test_multimodal_decode_stub_for_foreign_format(spark):
+    from datasketches_java_spark.operators.multimodal import decode_features
+
+    df = spark.createDataFrame(
+        [("x", bytearray(b"\x89PNG\r\n\x1a\n1234"))], "image_id string, bytes binary"
+    )
+    out = decode_features(df).toPandas()
+    assert not out["decode_ok"].any()
+
+
+def test_multimodal_resize(spark, smoke_sf_dir):
+    from datasketches_java_spark.corpus import codec
+    from datasketches_java_spark.operators.multimodal import resize_thumbnails
+    from datasketches_java_spark.sources import tables
+
+    corpus = tables.load_corpus(spark, smoke_sf_dir).limit(50)
+    out = resize_thumbnails(corpus, max_side=16).toPandas()
+    assert (out["tw"] <= 32).all() and (out["th"] <= 32).all()
+    img, _ = codec.decode(bytes(out.iloc[0]["thumb"]))
+    assert img.shape[0] == out.iloc[0]["th"]
+
+
+def test_psnr_pairs_invariant(spark, smoke_sf_dir):
+    """Per-row invariant (BASELINE.json:16): same-pixel variants in
+    golden pairs decode within PSNR >= 40 dB."""
+    from datasketches_java_spark.operators.multimodal import psnr_pairs
+    from datasketches_java_spark.sources import tables
+
+    corpus = tables.load_corpus(spark, smoke_sf_dir)
+    golden = tables.load_golden(spark, smoke_sf_dir, "golden_pairs").limit(300)
+    out = psnr_pairs(golden.select("id_a", "id_b"), corpus).toPandas()
+    same = out[out["same_dims"]]
+    assert len(same) > 50
+    assert (same["psnr"] >= 40.0).all()
