@@ -8,3 +8,21 @@ UDFs. See SURVEY.md for the full reference mapping.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# This sandbox's page-fault cost makes glibc's default behavior of
+# mmap/munmap-ing every >128 KiB buffer pathological (~50x slowdowns on
+# NumPy temporaries, observed as 80% system time). Keep large
+# allocations on the reusable heap: mallopt for this process (env vars
+# are only read at process start), env for children (Spark workers).
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483648")
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483648")
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-3, 2**31 - 1)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 2**31 - 1)  # M_TRIM_THRESHOLD
+except Exception:  # non-glibc platforms: defaults are fine
+    pass
