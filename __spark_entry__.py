@@ -127,6 +127,31 @@ def _q_events_by_type(spark, sf_dir):
     )
 
 
+def _q_frequent_tokens(spark, sf_dir):
+    """Heavy hitters over document tokens (reference F1 use case; exact
+    groupBy-count top-k here — the MG sketch kernel is kernels/freq.py,
+    accuracy-tested in tests/test_freq_ks.py)."""
+    from datasketches_java_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def _q_psample_docs(spark, sf_dir):
+    """Deterministic p-sampling front-end (reference T9: initial θ =
+    p·2^63 — here a hash-threshold filter, the relational equivalent)."""
+    d = _docs(spark, sf_dir)
+    return d.filter(F.substring(F.md5(F.col("text")), 1, 2) < "14").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars_calc")
+    )
+
+
 # ----- rows-only (sketch / LSH / corpus queries; accuracy gated in tests/) --
 
 def _q_minhash_dup_docs(spark, sf_dir):
@@ -217,6 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ip": _q_embedding_topk_ip,
         "tpch_q1": _q_tpch_q1,
         "events_by_type": _q_events_by_type,
+        "frequent_tokens": _q_frequent_tokens,
+        "psample_docs": _q_psample_docs,
         # rows-only (non-SQL-expressible sketch/LSH ops)
         "minhash_dup_docs": _q_minhash_dup_docs,
         "kmv_distinct_by_source": _q_kmv_distinct_by_source,
@@ -337,5 +364,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "frequent_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 20
+        """,
+        "psample_docs": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc
+            FROM documents
+            WHERE substring(md5(text), 1, 2) < '14'
         """,
     }
