@@ -16,13 +16,16 @@ import os as _os
 # NumPy temporaries, observed as 80% system time). Keep large
 # allocations on the reusable heap: mallopt for this process (env vars
 # are only read at process start), env for children (Spark workers).
-_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483648")
-_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483648")
+# glibc rejects thresholds above DEFAULT_MMAP_THRESHOLD_MAX (32 MiB on
+# 64-bit) — use exactly the cap or the call silently does nothing
+_MMAP_THRESHOLD = 32 * 1024 * 1024
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(_MMAP_THRESHOLD))
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(2**30))
 try:
     import ctypes as _ctypes
 
     _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
-    _libc.mallopt(-3, 2**31 - 1)  # M_MMAP_THRESHOLD
-    _libc.mallopt(-1, 2**31 - 1)  # M_TRIM_THRESHOLD
+    _libc.mallopt(-3, _MMAP_THRESHOLD)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 2**30)            # M_TRIM_THRESHOLD
 except Exception:  # non-glibc platforms: defaults are fine
     pass

@@ -4,20 +4,28 @@ Generates the exact `input_hint` schema (BASELINE.json:15):
 (image_id string, bytes binary, w int32, h int32, fmt string,
  caption string, phash int64), seeded, no external data (FIXTURES.md F1).
 
+Two-phase, memory-flat design: `plan_corpus` draws only lightweight
+structure (group sizes, captions, variant params, per-image RNG seeds)
+— tens of MB even at 10^6 rows; `write_corpus` streams chunks of
+pixels → encode → pHash straight into a ParquetWriter, so peak RSS is
+one chunk regardless of corpus size. Every image is reproducible from
+its planned seed alone (the same keyed-seeding discipline the Spark
+kernels use for task-retry idempotence, SURVEY.md §4).
+
 Ground truth: ~30% of rows belong to duplicate groups of size 2-8.
 Variants inside a group: exact byte-dup, lossy re-encode of the same
 pixels (PSNR >= 40 dB), caption with <=2 token substitutions, small
 crop (<=4 px). Golden dup pairs are *exact* char-5-shingle Jaccard >=
-threshold, found with a prefix-filtered similarity self-join
-(Xiao et al., "Efficient Similarity Joins for Near Duplicate
-Detection", WWW 2008) — an exact algorithm, independent of the
-LSH/MinHash path it grades.
+threshold via a prefix-filtered similarity self-join (Xiao et al.,
+WWW 2008) — exact and independent of the LSH path it grades.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from ..config import DedupConfig, FROZEN
 from ..kernels.hashing import popcount64
@@ -29,6 +37,20 @@ _STOPWORDS = (
     "at one have this from or had by hot word but what some we can out other "
     "were all there when up use your how said an each she"
 ).split()
+
+_VARIANTS = ("exact", "reencode", "tokensub", "crop")
+
+SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
 
 
 def _make_vocab(rng: np.random.Generator, n_words: int = 2000) -> list[str]:
@@ -49,8 +71,10 @@ def _zipf_weights(n: int) -> np.ndarray:
     return w / w.sum()
 
 
-def _make_image(rng: np.random.Generator) -> np.ndarray:
-    """Smooth seeded RGB image, 32..64 px per side (compresses well)."""
+def _make_image(image_seed: int) -> np.ndarray:
+    """Smooth seeded RGB image, 32..64 px per side (compresses well).
+    Reproducible from the seed alone."""
+    rng = np.random.default_rng(image_seed)
     h = int(rng.integers(32, 65))
     w = int(rng.integers(32, 65))
     coarse = rng.integers(0, 256, (5, 5, 3)).astype(np.float64)
@@ -85,87 +109,130 @@ def _substitute_tokens(
     return " ".join(toks)
 
 
-_VARIANTS = ("exact", "reencode", "tokensub", "crop")
+def plan_corpus(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Lightweight plan: one row per corpus row, no pixels.
 
-
-def make_corpus(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Returns (corpus df in input_hint schema, groups df
-    (image_id, group_id, variant)). Deterministic at (n_rows, seed)."""
+    Columns: image_id, image_seed, caption, fmt, quality, variant,
+    group_id, crop_y, crop_x. Deterministic at (n_rows, seed)."""
     rng = np.random.default_rng(seed)
     vocab = _make_vocab(rng)
     weights = _zipf_weights(len(vocab))
 
-    # plan groups: ~30% of rows in dup groups of 2..8
     target_dup = int(0.3 * n_rows)
     group_sizes: list[int] = []
     total = 0
     while total < target_dup:
         s = int(rng.integers(2, 9))
-        s = min(s, n_rows - (total + (n_rows - target_dup)))
+        s = min(s, target_dup - total)
         if s < 2:
             break
         group_sizes.append(s)
         total += s
     n_singles = n_rows - total
 
-    records: list[dict] = []
-    truth: list[dict] = []
+    rows: list[tuple] = []
 
-    def emit(img: np.ndarray, caption: str, fmt: str, quality: int,
-             group_id: int, variant: str, raw_bytes: bytes | None = None) -> None:
-        buf = raw_bytes if raw_bytes is not None else codec.encode(img, fmt, quality)
-        # phash is defined over what the stored bytes decode to — for
-        # lossy rows the quantized pixels, exactly as a real ingest
-        # pipeline (decode → phash) would compute it
-        stored = codec.decode(buf)[0]
-        records.append(
-            dict(bytes=buf, w=img.shape[1], h=img.shape[0], fmt=fmt,
-                 caption=caption, phash=int(codec.phash64(stored)))
-        )
-        truth.append(dict(group_id=group_id, variant=variant))
+    def plan_row(image_seed, caption, fmt, quality, variant, gid, cy=0, cx=0):
+        rows.append((image_seed, caption, fmt, quality, variant, gid, cy, cx))
 
     gid = 0
+    next_img_seed = seed * 1_000_003
     for size in group_sizes:
-        img = _make_image(rng)
+        img_seed = next_img_seed
+        next_img_seed += 1
         caption = _caption(rng, vocab, weights)
         fmt = "jpeg" if rng.random() < 0.5 else "png"
         q = int(rng.integers(60, 96))
-        base_buf = codec.encode(img, fmt, q)
-        emit(img, caption, fmt, q, gid, "base", raw_bytes=base_buf)
+        plan_row(img_seed, caption, fmt, q, "base", gid)
         for _ in range(size - 1):
             v = _VARIANTS[int(rng.integers(0, len(_VARIANTS)))]
             if v == "exact":
-                emit(img, caption, fmt, q, gid, v, raw_bytes=base_buf)
+                plan_row(img_seed, caption, fmt, q, "exact", gid)
             elif v == "reencode":
-                q2 = int(rng.integers(60, 96))
-                emit(img, caption, "jpeg", q2, gid, v)
+                plan_row(img_seed, caption, "jpeg", int(rng.integers(60, 96)),
+                         "reencode", gid)
             elif v == "tokensub":
                 cap2 = _substitute_tokens(rng, caption, vocab, int(rng.integers(1, 3)))
-                emit(img, cap2, fmt, q, gid, v)
-            else:  # crop <=4px
-                cy = int(rng.integers(1, 5))
-                cx = int(rng.integers(1, 5))
-                img2 = img[cy:, cx:]
-                emit(img2, caption, fmt, q, gid, v)
+                plan_row(img_seed, cap2, fmt, q, "tokensub", gid)
+            else:
+                plan_row(img_seed, caption, fmt, q, "crop", gid,
+                         int(rng.integers(1, 5)), int(rng.integers(1, 5)))
         gid += 1
 
     for _ in range(n_singles):
-        img = _make_image(rng)
-        caption = _caption(rng, vocab, weights)
-        fmt = "jpeg" if rng.random() < 0.5 else "png"
-        emit(img, caption, fmt, int(rng.integers(60, 96)), -1, "single")
+        img_seed = next_img_seed
+        next_img_seed += 1
+        plan_row(img_seed, _caption(rng, vocab, weights),
+                 "jpeg" if rng.random() < 0.5 else "png",
+                 int(rng.integers(60, 96)), "single", -1)
 
-    # shuffle row order so group members are not storage-adjacent,
-    # then assign ids in storage order
-    perm = rng.permutation(len(records))
-    ids = [f"img{i:012d}" for i in range(len(records))]
-    corpus = pd.DataFrame([records[i] for i in perm])
-    corpus.insert(0, "image_id", ids)
-    corpus["w"] = corpus["w"].astype(np.int32)
-    corpus["h"] = corpus["h"].astype(np.int32)
-    corpus["phash"] = corpus["phash"].astype(np.int64)
-    groups = pd.DataFrame([truth[i] for i in perm])
-    groups.insert(0, "image_id", ids)
+    perm = rng.permutation(len(rows))
+    plan = pd.DataFrame(
+        [rows[i] for i in perm],
+        columns=["image_seed", "caption", "fmt", "quality", "variant",
+                 "group_id", "crop_y", "crop_x"],
+    )
+    plan.insert(0, "image_id", [f"img{i:012d}" for i in range(len(plan))])
+    return plan
+
+
+def _render_rows(plan_chunk: pd.DataFrame) -> pd.DataFrame:
+    """Pixels → encode → pHash for one plan chunk (bounded memory)."""
+    # base encodes are shared within a chunk via a tiny cache keyed by
+    # (image_seed, fmt, quality) so exact byte-dups are byte-identical
+    enc_cache: dict[tuple, bytes] = {}
+    out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    for r in plan_chunk.itertuples(index=False):
+        img = _make_image(int(r.image_seed))
+        if r.variant == "crop":
+            img = img[int(r.crop_y):, int(r.crop_x):]
+        key = (int(r.image_seed), r.fmt, int(r.quality), int(r.crop_y), int(r.crop_x))
+        buf = enc_cache.get(key)
+        if buf is None:
+            buf = codec.encode(img, r.fmt, int(r.quality))
+            enc_cache[key] = buf
+        stored = codec.decode(buf)[0]
+        out["image_id"].append(r.image_id)
+        out["bytes"].append(buf)
+        out["w"].append(img.shape[1])
+        out["h"].append(img.shape[0])
+        out["fmt"].append(r.fmt)
+        out["caption"].append(r.caption)
+        # phash over what the stored bytes decode to (ingest semantics)
+        out["phash"].append(int(codec.phash64(stored)))
+    df = pd.DataFrame(out)
+    df["w"] = df["w"].astype(np.int32)
+    df["h"] = df["h"].astype(np.int32)
+    df["phash"] = df["phash"].astype(np.int64)
+    return df
+
+
+def write_corpus(
+    plan: pd.DataFrame, out_path: str, chunk: int = 10_000
+) -> pd.DataFrame:
+    """Stream the planned corpus to parquet; returns a light frame
+    (image_id, caption, phash, group_id, variant) for golden building."""
+    writer = pq.ParquetWriter(out_path, SCHEMA)
+    phashes = []
+    try:
+        for start in range(0, len(plan), chunk):
+            part = _render_rows(plan.iloc[start : start + chunk])
+            writer.write_table(
+                pa.Table.from_pandas(part, schema=SCHEMA, preserve_index=False)
+            )
+            phashes.append(part["phash"].to_numpy())
+    finally:
+        writer.close()
+    light = plan[["image_id", "caption", "group_id", "variant"]].copy()
+    light["phash"] = np.concatenate(phashes) if phashes else np.empty(0, np.int64)
+    return light
+
+
+def make_corpus(n_rows: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """In-memory corpus (tests / small tiers): returns (corpus, groups)."""
+    plan = plan_corpus(n_rows, seed)
+    corpus = _render_rows(plan)
+    groups = plan[["image_id", "group_id", "variant"]].copy()
     return corpus, groups
 
 
@@ -185,16 +252,13 @@ def exact_jaccard_pairs(
     norm = normalize_captions(captions)
     h, rows = char_shingle_hashes(norm, cfg.shingle_k, cfg.seed)
     n = len(ids)
-    # per-row sorted-unique shingle arrays
     df = pd.DataFrame({"row": rows, "h": h}).drop_duplicates()
     freq = df.groupby("h")["h"].transform("size").to_numpy()
-    # order rarest-first within each row (ties by hash for determinism)
     df = df.assign(freq=freq).sort_values(["row", "freq", "h"], kind="stable")
     sizes = df.groupby("row").size()
     size_arr = np.zeros(n, dtype=np.int64)
     size_arr[sizes.index.to_numpy()] = sizes.to_numpy()
 
-    # prefix length: |x| - ceil(t*|x|) + 1
     prefix_len = size_arr - np.ceil(t * size_arr).astype(np.int64) + 1
     pos_in_row = df.groupby("row").cumcount().to_numpy()
     in_prefix = pos_in_row < prefix_len[df["row"].to_numpy()]
@@ -203,7 +267,6 @@ def exact_jaccard_pairs(
     cand = prefixes.merge(prefixes, on="h")
     cand = cand[cand["row_x"] < cand["row_y"]][["row_x", "row_y"]].drop_duplicates()
 
-    # exact verify
     sets: dict[int, np.ndarray] = {
         r: np.sort(g["h"].to_numpy()) for r, g in df.groupby("row")
     }
@@ -228,18 +291,19 @@ def exact_jaccard_pairs(
     ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def build_golden(
-    corpus: pd.DataFrame, groups: pd.DataFrame, cfg: DedupConfig = FROZEN
+def build_golden_light(
+    light: pd.DataFrame, cfg: DedupConfig = FROZEN
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """(golden_pairs, golden_clusters) per FIXTURES.md F2/F3."""
-    pairs = exact_jaccard_pairs(corpus["image_id"], corpus["caption"], cfg)
-    ph = corpus.set_index("image_id")["phash"]
+    """(golden_pairs, golden_clusters) from the light frame
+    (image_id, caption, phash, group_id) — FIXTURES.md F2/F3."""
+    pairs = exact_jaccard_pairs(light["image_id"], light["caption"], cfg)
+    ph = light.set_index("image_id")["phash"]
     ham = popcount64(
         ph.loc[pairs["id_a"]].to_numpy().astype(np.uint64)
         ^ ph.loc[pairs["id_b"]].to_numpy().astype(np.uint64)
     ) if len(pairs) else np.empty(0, np.int32)
     pairs["hamming_phash"] = ham.astype(np.int32)
-    gmap = groups.set_index("image_id")["group_id"]
+    gmap = light.set_index("image_id")["group_id"]
     if len(pairs):
         ga = gmap.loc[pairs["id_a"]].to_numpy()
         gb = gmap.loc[pairs["id_b"]].to_numpy()
@@ -247,7 +311,6 @@ def build_golden(
     else:
         pairs["same_group"] = pd.Series([], dtype=bool)
 
-    # connected components over golden pairs (union-find)
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -261,13 +324,22 @@ def build_golden(
     for a, b in zip(pairs["id_a"], pairs["id_b"]):
         ra, rb = find(a), find(b)
         if ra != rb:
-            # min-id root so cluster_id is deterministic
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    all_ids = corpus["image_id"].tolist()
+    all_ids = light["image_id"].tolist()
     cluster_id = [find(i) for i in all_ids]
     clusters = pd.DataFrame({"image_id": all_ids, "cluster_id": cluster_id})
     sizes = clusters.groupby("cluster_id")["image_id"].transform("size")
     clusters["cluster_size"] = sizes.astype(np.int32)
     return pairs, clusters
+
+
+def build_golden(
+    corpus: pd.DataFrame, groups: pd.DataFrame, cfg: DedupConfig = FROZEN
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Compatibility wrapper over build_golden_light."""
+    light = corpus[["image_id", "caption", "phash"]].merge(
+        groups[["image_id", "group_id"]], on="image_id"
+    )
+    return build_golden_light(light, cfg)

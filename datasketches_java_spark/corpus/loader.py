@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import FROZEN, DedupConfig
-from .generate import build_golden, make_corpus
+from .generate import build_golden_light, plan_corpus, write_corpus
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CACHE_ROOT = os.environ.get(
@@ -46,7 +46,7 @@ _SCHEMA = pa.schema(
 )
 
 
-GEN_VERSION = 2  # bump to invalidate caches when generator semantics change
+GEN_VERSION = 3  # bump to invalidate caches when generator semantics change
 
 
 def _corpus_tag(cfg: DedupConfig) -> str:
@@ -63,13 +63,11 @@ def corpus_dir(n_rows: int, cfg: DedupConfig = FROZEN, seed: int = 42) -> str:
         return final
     tmp = final + f".tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    corpus, groups = make_corpus(n_rows, seed)
-    pairs, clusters = build_golden(corpus, groups, cfg)
-    pq.write_table(
-        pa.Table.from_pandas(corpus, schema=_SCHEMA, preserve_index=False),
-        os.path.join(tmp, "corpus.parquet"),
-        row_group_size=8192,
-    )
+    # streaming write: peak memory is one chunk, not the whole corpus
+    plan = plan_corpus(n_rows, seed)
+    light = write_corpus(plan, os.path.join(tmp, "corpus.parquet"))
+    pairs, clusters = build_golden_light(light, cfg)
+    groups = plan[["image_id", "group_id", "variant"]]
     for name, df in (("groups", groups), ("golden_pairs", pairs),
                      ("golden_clusters", clusters)):
         pq.write_table(
