@@ -248,47 +248,57 @@ def exact_jaccard_pairs(
     missed (PPJoin prefix lemma), then candidates are verified with
     exact set intersection.
     """
+    import duckdb
+
     t = cfg.jaccard_golden if threshold is None else threshold
+    k = cfg.shingle_k
     norm = normalize_captions(captions)
-    h, rows = char_shingle_hashes(norm, cfg.shingle_k, cfg.seed)
-    n = len(ids)
-    df = pd.DataFrame({"row": rows, "h": h}).drop_duplicates()
-    freq = df.groupby("h")["h"].transform("size").to_numpy()
-    df = df.assign(freq=freq).sort_values(["row", "freq", "h"], kind="stable")
-    sizes = df.groupby("row").size()
-    size_arr = np.zeros(n, dtype=np.int64)
-    size_arr[sizes.index.to_numpy()] = sizes.to_numpy()
-
-    prefix_len = size_arr - np.ceil(t * size_arr).astype(np.int64) + 1
-    pos_in_row = df.groupby("row").cumcount().to_numpy()
-    in_prefix = pos_in_row < prefix_len[df["row"].to_numpy()]
-    prefixes = df[in_prefix][["row", "h"]]
-
-    cand = prefixes.merge(prefixes, on="h")
-    cand = cand[cand["row_x"] < cand["row_y"]][["row_x", "row_y"]].drop_duplicates()
-
-    sets: dict[int, np.ndarray] = {
-        r: np.sort(g["h"].to_numpy()) for r, g in df.groupby("row")
-    }
-    out = []
-    for ra, rb in cand.itertuples(index=False):
-        sa, sb = sets[ra], sets[rb]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        if union > 0 and inter / union >= t:
-            out.append((ra, rb, inter / union))
-    idv = ids.to_numpy()
-    res = pd.DataFrame(out, columns=["ra", "rb", "jaccard_exact"])
+    docs = pd.DataFrame({"id": ids.to_numpy(), "cap": norm.to_numpy()})
+    con = duckdb.connect()
+    # bounded memory + threads: unbounded hash joins thrash this sandbox
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET threads=16")
+    con.register("docs", docs)
+    con.execute(f"""
+        CREATE TEMP TABLE sh AS
+        SELECT id, unnest(list_distinct([substring(cap, i, {k})
+            for i in generate_series(1, greatest(length(cap)-{k-1}, 1))])) AS s
+        FROM docs WHERE length(cap) > 0""")
+    con.execute("""
+        CREATE TEMP TABLE ranked AS
+        SELECT sh.id, sh.s,
+               row_number() OVER (PARTITION BY sh.id ORDER BY f.f, sh.s) AS pos,
+               count(*) OVER (PARTITION BY sh.id) AS sz
+        FROM sh JOIN (SELECT s, count(*) AS f FROM sh GROUP BY s) f USING (s)""")
+    con.execute(f"""
+        CREATE TEMP TABLE pref AS
+        SELECT id, s, sz FROM ranked WHERE pos <= sz - ceil({t} * sz) + 1""")
+    # size filter: J >= t forces t·|b| <= |a| <= |b|/t (PPJoin length filter)
+    con.execute(f"""
+        CREATE TEMP TABLE cand AS
+        SELECT DISTINCT a.id AS ia, b.id AS ib
+        FROM pref a JOIN pref b
+          ON a.s = b.s AND a.id < b.id
+         AND a.sz >= {t} * b.sz AND b.sz >= {t} * a.sz""")
+    res = con.sql(f"""
+        WITH sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        inter AS (
+          SELECT c.ia, c.ib, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.id = c.ia
+          JOIN sh b ON b.id = c.ib AND b.s = a.s
+          GROUP BY c.ia, c.ib)
+        SELECT i.ia AS id_a, i.ib AS id_b,
+               CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard_exact
+        FROM inter i
+        JOIN sizes sa ON sa.id = i.ia
+        JOIN sizes sb ON sb.id = i.ib
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {t}
+        ORDER BY id_a, id_b""").df()
+    con.close()
     if len(res) == 0:
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard_exact"])
-    a = idv[res["ra"].to_numpy()]
-    b = idv[res["rb"].to_numpy()]
-    swap = a > b
-    id_a = np.where(swap, b, a)
-    id_b = np.where(swap, a, b)
-    return pd.DataFrame(
-        {"id_a": id_a, "id_b": id_b, "jaccard_exact": res["jaccard_exact"].to_numpy()}
-    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return res.reset_index(drop=True)
 
 
 def build_golden_light(
