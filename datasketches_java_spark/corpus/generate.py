@@ -248,12 +248,16 @@ def exact_jaccard_pairs(
     missed (PPJoin prefix lemma), then candidates are verified with
     exact set intersection.
     """
-    import duckdb
-
     t = cfg.jaccard_golden if threshold is None else threshold
     k = cfg.shingle_k
     norm = normalize_captions(captions)
     docs = pd.DataFrame({"id": ids.to_numpy(), "cap": norm.to_numpy()})
+    if len(docs) > 50_000:
+        # large tiers: run the exact SSJoin on Spark (JVM memory pools —
+        # DuckDB/pandas both thrash this sandbox's allocator at 30M+
+        # posting rows). Same algorithm, same results.
+        return _exact_jaccard_pairs_spark(docs, k, t)
+    import duckdb
     con = duckdb.connect()
     # bounded memory + threads: unbounded hash joins thrash this sandbox
     con.execute("SET memory_limit='8GB'")
@@ -299,6 +303,29 @@ def exact_jaccard_pairs(
     if len(res) == 0:
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard_exact"])
     return res.reset_index(drop=True)
+
+
+def _exact_jaccard_pairs_spark(docs: pd.DataFrame, k: int, t: float) -> pd.DataFrame:
+    from ..operators.dedup_relational import ssjoin_jaccard_pairs
+    from ..session import get_spark
+
+    spark = get_spark(app="golden_ssjoin")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(docs)
+    out = (
+        ssjoin_jaccard_pairs(df, "id", "cap", k, t, normalized=True)
+        .select(
+            F_spark.col("id_a"), F_spark.col("id_b"), F_spark.col("jaccard_exact")
+        )
+        .toPandas()
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+try:  # imported lazily so kernels stay Spark-free
+    from pyspark.sql import functions as F_spark
+except Exception:  # pragma: no cover
+    F_spark = None
 
 
 def build_golden_light(

@@ -30,6 +30,79 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def ssjoin_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8,
+    normalized: bool = False,
+) -> DataFrame:
+    """Exact prefix-filtered similarity self-join (PPJoin family: Xiao
+    et al. WWW 2008) — all pairs with char-k shingle Jaccard >=
+    threshold, scalable: candidates come only from each document's
+    (1-t)|x|+1 globally-rarest shingles (lossless prefix lemma) with
+    the length filter t·|b| <= |a|, so hot shingles never join.
+
+    Everything stays JVM-side (substring/xxhash64/window), no Python.
+    Output: (id_a, id_b, intersect_ct, union_ct, jaccard_exact).
+    """
+    t = threshold
+    text = F.col(text_col)
+    if not normalized:
+        text = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(text, k)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("sh"))
+
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("id").orderBy("f", "sh")
+    w_sz = Window.partitionBy("id")
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("sz", F.count("*").over(w_sz))
+    )
+    pref = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("id", "sh", "sz")
+
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(b, "sh")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") >= t * F.col("b.sz"))
+            & (F.col("b.sz") >= t * F.col("a.sz"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersect_ct"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    ca = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    cb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("union_ct", F.col("na") + F.col("nb") - F.col("intersect_ct"))
+        .withColumn(
+            "jaccard_exact",
+            F.col("intersect_ct").cast("double") / F.col("union_ct"),
+        )
+        .filter(F.col("jaccard_exact") >= t)
+        .select("id_a", "id_b", "intersect_ct", "union_ct", "jaccard_exact")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
 ) -> DataFrame:
