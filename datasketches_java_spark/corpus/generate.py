@@ -311,14 +311,20 @@ def _exact_jaccard_pairs_spark(docs: pd.DataFrame, k: int, t: float) -> pd.DataF
 
     spark = get_spark(app="golden_ssjoin")
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.createDataFrame(docs)
-    out = (
-        ssjoin_jaccard_pairs(df, "id", "cap", k, t, normalized=True)
-        .select(
-            F_spark.col("id_a"), F_spark.col("id_b"), F_spark.col("jaccard_exact")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    # 30M-posting shuffles: never let AQE broadcast a mis-estimated side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.createDataFrame(docs)
+        out = (
+            ssjoin_jaccard_pairs(df, "id", "cap", k, t, normalized=True)
+            .select(
+                F_spark.col("id_a"), F_spark.col("id_b"), F_spark.col("jaccard_exact")
+            )
+            .toPandas()
         )
-        .toPandas()
-    )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
