@@ -138,3 +138,19 @@ def test_golden_recall_covers_planted_pairs():
     for _, grp in some:
         ids = grp["image_id"].tolist()
         assert len({cmap[i] for i in ids}) == 1
+
+
+def test_structural_golden_matches_full_ssjoin():
+    """The bench-tier structure-based golden construction must equal the
+    fully general exact SSJoin (validated here at gate scale)."""
+    from datasketches_java_spark.corpus.generate import (
+        _structural_golden_pairs,
+        exact_jaccard_pairs,
+        plan_corpus,
+    )
+
+    plan = plan_corpus(3000, 42)
+    light = plan[["image_id", "caption", "group_id"]].copy()
+    struct = _structural_golden_pairs(light, FROZEN, 0.8)
+    full = exact_jaccard_pairs(plan["image_id"], plan["caption"], FROZEN)
+    assert set(zip(struct.id_a, struct.id_b)) == set(zip(full.id_a, full.id_b))
