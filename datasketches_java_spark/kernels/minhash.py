@@ -76,33 +76,42 @@ def _densify(mat: np.ndarray, n_bins: int, seed: int, max_attempts: int = 64) ->
     every empty bin walks its own probe sequence until it hits a filled
     bin. Falls back to circular shift for bins still empty after
     max_attempts (only near-empty rows, where variance is moot)."""
-    filled0 = mat != _EMPTY
-    if filled0.all():
+    flat = mat.reshape(-1)
+    filled0_flat = flat != _EMPTY
+    if filled0_flat.all():
         return
     probes = _probe_targets(n_bins, seed, max_attempts)
-    out = mat.copy()
-    empty = ~filled0
+    # work only on the flat indices of still-empty cells; the active
+    # set shrinks geometrically (expected attempts ≈ 1/fill-fraction)
+    empty_idx = np.nonzero(~filled0_flat)[0]
+    rows_e = empty_idx // n_bins
+    bins_e = (empty_idx % n_bins).astype(np.int64)
+    # reads gather only from originally-filled cells and writes go only
+    # to originally-empty cells, so flat can serve as its own source
+    src_snapshot = flat
     for t in range(max_attempts):
-        if not empty.any():
+        if len(empty_idx) == 0:
             break
-        tgt = probes[t]  # (n_bins,)
-        cand = mat[:, tgt]           # value of probed bin (original, pre-densify)
-        cand_filled = filled0[:, tgt]
-        take = empty & cand_filled
-        out[take] = cand[take]
-        empty &= ~cand_filled
-    if empty.any():  # degenerate rows: few filled bins missed by probes
-        filled = ~ (out == _EMPTY)
-        step = 1
-        while step < n_bins and empty.any():
-            rolled = np.roll(out, -step, axis=1)
-            rolled_filled = np.roll(filled, -step, axis=1)
-            take = empty & rolled_filled
-            out[take] = rolled[take]
-            filled |= rolled_filled
-            empty &= ~rolled_filled
-            step <<= 1
-    mat[:] = out
+        tgt = probes[t][bins_e]
+        src = rows_e * n_bins + tgt
+        hit = filled0_flat[src]
+        if hit.any():
+            flat[empty_idx[hit]] = src_snapshot[src[hit]]
+            keep = ~hit
+            empty_idx, rows_e, bins_e = empty_idx[keep], rows_e[keep], bins_e[keep]
+    if len(empty_idx):  # degenerate near-empty rows: circular fallback
+        for step in range(1, n_bins):
+            if len(empty_idx) == 0:
+                break
+            tgt = (bins_e + step) % n_bins
+            src = rows_e * n_bins + tgt
+            hit = filled0_flat[src]
+            if hit.any():
+                flat[empty_idx[hit]] = src_snapshot[src[hit]]
+                keep = ~hit
+                empty_idx, rows_e, bins_e = (
+                    empty_idx[keep], rows_e[keep], bins_e[keep],
+                )
 
 
 def band_hashes(

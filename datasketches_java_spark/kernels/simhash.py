@@ -21,14 +21,25 @@ def simhash_batch(
     tokens get signature 0."""
     acc = np.zeros((n_rows, 64), dtype=np.int64)
     if len(token_h):
+        rows = np.asarray(rows, dtype=np.int64)
+        order = np.argsort(rows, kind="stable")
+        th_s, rows_s = np.asarray(token_h, dtype=np.uint64)[order], rows[order]
         bits = np.unpackbits(
-            np.asarray(token_h, dtype=np.uint64).view(np.uint8).reshape(-1, 8)[:, ::-1],
-            axis=1,
-        ).astype(np.int64)  # (M, 64), MSB first
-        votes = bits * 2 - 1
+            th_s.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
+        )  # (M, 64) uint8, MSB first
         if weights is not None:
-            votes = votes * weights[:, None]
-        np.add.at(acc, np.asarray(rows, dtype=np.int64), votes)
+            w = np.asarray(weights, dtype=np.float64)[order]
+            votes = (bits.astype(np.float64) * 2 - 1) * w[:, None]
+            # segment-sum per row (reduceat: ~30x faster than add.at)
+            starts = np.nonzero(np.r_[True, rows_s[1:] != rows_s[:-1]])[0]
+            sums = np.add.reduceat(votes, starts, axis=0)
+            acc = acc.astype(np.float64)
+            acc[rows_s[starts]] = sums
+        else:
+            starts = np.nonzero(np.r_[True, rows_s[1:] != rows_s[:-1]])[0]
+            ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            seg_len = np.diff(np.append(starts, len(rows_s)))
+            acc[rows_s[starts]] = 2 * ones - seg_len[:, None]
     out_bits = (acc > 0).astype(np.uint8)
     packed = np.packbits(out_bits, axis=1)  # MSB-first bytes
     return packed.view(">u8").reshape(-1).astype(np.uint64).astype(np.int64)

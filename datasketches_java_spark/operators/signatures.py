@@ -37,24 +37,34 @@ SIG_SCHEMA = (
 )
 
 
-def phash_band_keys(phash: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
-    """int64[n, n_bands]: one key per phash block.
+_BLOCK_PAIRS = ((0, 1), (2, 3), (0, 2), (1, 3), (0, 3), (1, 2))
 
-    Splitting the 64-bit pHash into b blocks: any pair within Hamming
-    distance b-1 shares a block by pigeonhole; beyond that, detection
-    is probabilistic (≈0.95 at ham=8 for 8 blocks). Block keys are
-    kept in a separate column from caption bands because their bucket
-    space is much coarser and gets a tighter skew cap.
+
+def phash_band_keys(phash: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
+    """int64[n, 6]: one key per *pair* of 16-bit pHash blocks.
+
+    Keys are the C(4,2)=6 two-block combinations of the four 16-bit
+    blocks, so any error pattern confined to <= 2 blocks (covers all
+    Hamming <= 2 and most realistic re-encode patterns, measured p99=4
+    concentrated in low-order DCT bits) leaves the complementary pair
+    intact — guaranteed detection. 32-bit key space keeps random/skew
+    collisions ~n²/2^32 per key even on the correlated DCT-sign
+    distribution of natural/synthetic images, where single 16-bit
+    blocks measured 17M collision pairs on a 200k corpus.
+    n_bands <= 0 disables the channel (text-only tables).
     """
     ph = np.asarray(phash, dtype=np.int64).astype(np.uint64)
-    width = np.uint64(64 // n_bands)
-    mask = np.uint64((1 << int(width)) - 1)
-    out = np.empty((len(ph), n_bands), dtype=np.uint64)
+    if n_bands <= 0:
+        return np.empty((len(ph), 0), dtype=np.int64)
+    blocks = [(ph >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)]
+    out = np.empty((len(ph), len(_BLOCK_PAIRS)), dtype=np.uint64)
     with np.errstate(over="ignore"):
         s = seed_mix(seed + 7777)
-        for i in range(n_bands):
-            nib = (ph >> (np.uint64(i) * width)) & mask
-            out[:, i] = mix64(nib ^ (np.uint64(i) * np.uint64(0xD1B54A32D192ED03)) ^ s)
+        for idx, (i, j) in enumerate(_BLOCK_PAIRS):
+            key = (blocks[i] << np.uint64(16)) | blocks[j]
+            out[:, idx] = mix64(
+                key ^ (np.uint64(idx) * np.uint64(0xD1B54A32D192ED03)) ^ s
+            )
     return (out >> np.uint64(1)).astype(np.int64)
 
 

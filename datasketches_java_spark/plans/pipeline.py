@@ -54,8 +54,13 @@ def _stage(
     build,
     metrics: dict,
     force: bool = False,
+    persist: bool = False,
 ):
-    """Run (or resume) one stage; record wall time + row count."""
+    """Run (or resume) one stage; record wall time + row count.
+
+    persist=True caches BEFORE the count so the counting pass populates
+    the cache — otherwise every stage would compute twice (once for the
+    count, once for its consumer)."""
     t0 = time.time()
     if root is not None and not force and tables.checkpoint_exists(root, name):
         df = tables.read_checkpoint(spark, root, name)
@@ -66,6 +71,8 @@ def _stage(
             tables.write_checkpoint(df, root, name)
             df = tables.read_checkpoint(spark, root, name)
         metrics[f"{name}_resumed"] = False
+    if persist and root is None:
+        df = df.persist()
     metrics[f"{name}_rows"] = df.count()
     metrics[f"{name}_sec"] = round(time.time() - t0, 3)
     return df
@@ -84,23 +91,17 @@ def run_pipeline(
 
     signatures = _stage(
         spark, checkpoint_root, "signatures",
-        lambda: compute_signatures(corpus, cfg), metrics,
+        lambda: compute_signatures(corpus, cfg), metrics, persist=True,
     )
-    if checkpoint_root is None:
-        signatures = signatures.persist()
-
     candidates = _stage(
         spark, checkpoint_root, "candidates",
         lambda: candidate_pairs(explode_bands(signatures), cfg), metrics,
+        persist=True,
     )
-    if checkpoint_root is None:
-        candidates = candidates.persist()
     verified = _stage(
         spark, checkpoint_root, "verified",
-        lambda: verify_pairs(candidates, signatures, cfg), metrics,
+        lambda: verify_pairs(candidates, signatures, cfg), metrics, persist=True,
     )
-    if checkpoint_root is None:
-        verified = verified.persist()
 
     vertices = signatures.select("image_id")
     clusters = _stage(
