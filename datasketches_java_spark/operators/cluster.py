@@ -33,9 +33,14 @@ def connected_components(
     scale the overwhelming majority of rows are singletons and must not
     pay the per-iteration shuffles; they rejoin as size-1 clusters at
     the end."""
+    # the iteration works on the (small) edge-touched subgraph; pin it
+    # to a handful of partitions so each of the O(log n) rounds costs a
+    # few tasks, not shuffle_partitions tasks per join
+    n_parts = max(4, min(16, edges.sparkSession.sparkContext.defaultParallelism // 2))
     sym = (
         edges.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .unionByName(edges.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+        .repartition(n_parts, "x")
         .localCheckpoint()
     )
 

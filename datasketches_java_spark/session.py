@@ -30,7 +30,11 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cores, 32)
+        # one shuffle partition per core: at local scale, extra
+        # partitions only add scheduling + shuffle-file overhead (AQE
+        # splits skewed partitions when it matters); on a real cluster
+        # this is set to 2-3x total cores
+        shuffle_partitions = cores
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
