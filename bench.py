@@ -119,7 +119,7 @@ def main() -> None:
     result = {
         "metric": "images_per_sec",
         "value": round(rate_hi, 2),
-        "unit": "sec",
+        "unit": "img/sec",
         "queries": queries,
         "sf": sf,
         "rows": n_rows,

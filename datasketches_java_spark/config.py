@@ -47,8 +47,10 @@ class DedupConfig:
     # 4 x 16-bit pHash blocks. Bucket space 65536 per block keeps random
     # collisions ~n²/65536 (linear-ish at our tiers) where 8-bit blocks
     # measured 3.7M candidates on a 20k corpus (quadratic death at web
-    # scale). Detection: guaranteed ham<=3 by pigeonhole, probabilistic
-    # above — the image channel targets (near-)exact pixel dups; cropped
+    # scale). Detection: guaranteed for error patterns confined to <=2
+    # of the 4 blocks (covers all Hamming<=2; 3 errors can hit 3 blocks),
+    # probabilistic above — the image channel targets near-exact pixel
+    # dups; cropped
     # variants land at ham 12-18 and are owned by the caption channel.
     # Full ham<=8 image-only search = multi-index hashing with 1-bit
     # flip enumeration (Norouzi et al. 2012), a follow-up operator.

@@ -4,7 +4,9 @@ Each batch computes, fully vectorized (no per-row Python):
  - kmv_sig: bottom-k KMV/Theta signature of caption char-k shingles
    (reference T1, theta/HeapQuickSelectSketch.java:233-261 semantics)
  - bands: LSH band keys = 32 caption bands (OPH MinHash b=32 r=8) +
-   16 phash nibble bands (pigeonhole: Hamming<=15 ⇒ one nibble equal)
+   6 pHash block-pair keys (C(4,2) combinations of the four 16-bit
+   blocks; any error pattern confined to <=2 blocks is guaranteed a
+   candidate — covers all Hamming<=2; 3-8 bit errors are probabilistic)
  - simhash: 64-bit Charikar signature over caption tokens
  - n_shingles: exact distinct shingle count (exact while < k, per the
    Theta sketch's exact mode)
