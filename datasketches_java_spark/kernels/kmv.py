@@ -25,16 +25,22 @@ _TWO63 = float(2**63)
 
 
 def bottom_k_batch(
-    hashes: np.ndarray, rows: np.ndarray, n_rows: int, k: int
-) -> list[np.ndarray]:
+    hashes: np.ndarray, rows: np.ndarray, n_rows: int, k: int,
+    return_counts: bool = False,
+):
     """Per-row sorted bottom-k of deduped hashes, vectorized across the batch.
 
     Replaces the reference's amortized quickselect rebuild
     (theta/HeapQuickSelectSketch.java:294-306) with one lexsort per
     Arrow batch (vectorization substitutes for amortization, SURVEY §4).
+
+    With return_counts=True also returns int32[n_rows] exact distinct
+    hash counts per row (free — the dedupe pass computes them anyway).
     """
+    counts = np.zeros(n_rows, dtype=np.int32)
     if len(hashes) == 0:
-        return [np.empty(0, np.int64)] * n_rows
+        out0 = [np.empty(0, np.int64)] * n_rows
+        return (out0, counts) if return_counts else out0
     order = np.lexsort((hashes, rows))
     h, r = hashes[order], rows[order]
     # drop duplicate (row, hash) pairs
@@ -45,16 +51,20 @@ def bottom_k_batch(
     row_start = np.ones(len(r), dtype=bool)
     row_start[1:] = r[1:] != r[:-1]
     start_idx = np.nonzero(row_start)[0]
-    rank = np.arange(len(r)) - np.repeat(start_idx, np.diff(np.append(start_idx, len(r))))
+    seg_len = np.diff(np.append(start_idx, len(r)))
+    if return_counts and len(r):
+        counts[r[start_idx]] = seg_len.astype(np.int32)
+    rank = np.arange(len(r)) - np.repeat(start_idx, seg_len)
     sel = rank < k
     h, r = h[sel], r[sel]
     out: list[np.ndarray] = [np.empty(0, np.int64)] * n_rows
     if len(r):
         bounds = np.nonzero(np.diff(r))[0] + 1
+        # np.split yields views into h — no per-row copies
         pieces = np.split(h, bounds)
         for row_id, piece in zip(r[np.append(0, bounds).astype(np.int64)], pieces):
-            out[int(row_id)] = piece.astype(np.int64)
-    return out
+            out[int(row_id)] = piece
+    return (out, counts) if return_counts else out
 
 
 def bottom_k(hashes: np.ndarray, k: int) -> np.ndarray:
@@ -105,23 +115,28 @@ def a_not_b(sig_a: np.ndarray, sig_b: np.ndarray, k: int) -> np.ndarray:
     return out[out <= th]
 
 
-def estimate(sig: np.ndarray, k: int) -> float:
+def estimate(sig: np.ndarray, k: int, hash_space: float = _TWO63) -> float:
     """Distinct-count estimate: retained·2^63/θ (ThetaSketch.java:621-623).
 
     Exact (== retained count) while the sketch is unsaturated.
+    hash_space is the size of the uniform hash range — 2^63 for full
+    int64 signatures, 2^31 for the pipeline's truncated int32 wire
+    format (top-32-bit truncation keeps values uniform on [0, 2^31)).
     """
     if len(sig) < k:
         return float(len(sig))
     theta = float(sig[k - 1])
     # k-1 retained strictly below θ → unbiased KMV estimator
-    return (k - 1) * _TWO63 / theta
+    return (k - 1) * hash_space / theta
 
 
-def estimate_bounds(sig: np.ndarray, k: int, num_std_dev: int = 2) -> tuple[float, float, float]:
+def estimate_bounds(
+    sig: np.ndarray, k: int, num_std_dev: int = 2, hash_space: float = _TWO63
+) -> tuple[float, float, float]:
     """(lb, est, ub) — normal approximation of the binomial bounds the
     reference computes in thetacommon/BinomialBoundsN.java:234-257
     (RSE ≈ 1/sqrt(k-2) in estimation mode)."""
-    est = estimate(sig, k)
+    est = estimate(sig, k, hash_space)
     if len(sig) < k:
         return est, est, est
     rse = 1.0 / np.sqrt(max(k - 2, 1))
@@ -206,10 +221,17 @@ def jaccard_bounds_batch(
     )
     theta = np.minimum(theta_a, theta_b)
 
+    # dtype-preserving: int32 truncated signatures (the pipeline's wire
+    # format, operators/signatures.py) stay int32 through concat/sort —
+    # halves the memory traffic of the verification hot path
     vals = np.concatenate(
-        [np.asarray(s, np.int64) for pair in zip(sigs_a, sigs_b) for s in pair]
+        [np.asarray(s) for pair in zip(sigs_a, sigs_b) for s in pair]
         or [np.empty(0, np.int64)]
     )
+    if vals.dtype != np.int64:
+        # clip the "no threshold" sentinel into the value dtype; all
+        # retained values fit by construction so semantics are unchanged
+        theta = np.minimum(theta, np.iinfo(vals.dtype).max).astype(vals.dtype)
     lens = np.empty(2 * n, np.int64)
     lens[0::2] = la
     lens[1::2] = lb_

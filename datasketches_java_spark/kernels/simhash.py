@@ -37,7 +37,11 @@ def simhash_batch(
             acc[rows_s[starts]] = sums
         else:
             starts = np.nonzero(np.r_[True, rows_s[1:] != rows_s[:-1]])[0]
-            ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            # dtype= on reduceat widens the uint8 bits during the
+            # reduction itself — no (M, 64) int64 materialization (that
+            # temp was ~0.5 GB per 1M-token batch and dominated the
+            # whole signature stage on slow-memory hosts)
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
             seg_len = np.diff(np.append(starts, len(rows_s)))
             acc[rows_s[starts]] = 2 * ones - seg_len[:, None]
     out_bits = (acc > 0).astype(np.uint8)

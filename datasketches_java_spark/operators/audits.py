@@ -7,13 +7,12 @@
  - distinct shingles per cluster: our KMV union (theta/ThetaUnionImpl
    semantics) merged in applyInPandas — demonstrates the mergeable
    reduce over serialized signatures
- - caption-length quantiles: approx_percentile (audit-grade; the
-   reference-exact KLL kernel lives in kernels.kll for unit audits)
+ - caption-length quantiles: approx_percentile, emitted as SCALAR p50 /
+   p99 columns (audit-grade; the reference-exact KLL kernel lives in
+   kernels.kll for unit audits)
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -24,9 +23,11 @@ from ..config import DedupConfig, FROZEN
 from ..kernels import kmv
 
 AUDIT_SCHEMA = (
-    "cluster_id string, n_rows bigint, distinct_captions_hll double, "
-    "kmv_union_est double, kmv_union_lb double, kmv_union_ub double"
+    "cluster_id string, n_rows bigint, kmv_union_est double, "
+    "kmv_union_lb double, kmv_union_ub double"
 )
+
+_HASH_SPACE_32 = float(2**31)  # pipeline signatures are top-32-bit truncated
 
 
 def cluster_audits(
@@ -37,19 +38,24 @@ def cluster_audits(
     corpus: DataFrame | None = None,
     min_size: int = 2,
 ) -> DataFrame:
-    """Audit table for clusters with >= min_size members."""
+    """Audit table for clusters with >= min_size members.
+
+    `clusters` is the boundary table (image_id, cluster_id string);
+    `signatures` is the internal table keyed by id64 — the join key is
+    re-derived as xxhash64(image_id), the same function the signature
+    stage used, so no id map needs to travel."""
     k = cfg.kmv_k
     members = clusters.filter(F.col("cluster_size") >= min_size).select(
-        "image_id", "cluster_id"
+        "image_id", F.xxhash64("image_id").alias("id64"), "cluster_id"
     )
-    sig = signatures.select("image_id", "kmv_sig", "simhash")
-    joined = members.join(sig, "image_id")
+    sig = signatures.select("id64", "sig", "simhash")
+    joined = members.join(sig, "id64")
 
     def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        sigs = [np.asarray(s, np.int64) for s in pdf["kmv_sig"]]
+        sigs = [np.asarray(s) for s in pdf["sig"]]
         n = len(pdf)
         u = kmv.union_many(sigs, k)
-        lb, est, ub = kmv.estimate_bounds(u, k, 2)
+        lb, est, ub = kmv.estimate_bounds(u, k, 2, hash_space=_HASH_SPACE_32)
         return pd.DataFrame(
             {
                 "cluster_id": [key[0]],
@@ -60,11 +66,7 @@ def cluster_audits(
             }
         )
 
-    kmv_part = joined.groupBy("cluster_id").applyInPandas(
-        agg,
-        "cluster_id string, n_rows bigint, kmv_union_est double, "
-        "kmv_union_lb double, kmv_union_ub double",
-    )
+    kmv_part = joined.groupBy("cluster_id").applyInPandas(agg, AUDIT_SCHEMA)
 
     out = kmv_part
     if corpus is not None:
@@ -73,9 +75,14 @@ def cluster_audits(
             F.hll_sketch_estimate(F.hll_sketch_agg("caption", F.lit(12))).alias(
                 "distinct_captions_hll"
             ),
-            F.expr("approx_percentile(length(caption), array(0.5, 0.99))").alias(
-                "caption_len_q"
-            ),
+            F.expr(
+                "approx_percentile(length(caption), array(0.5, 0.99))"
+            ).alias("_q"),
+        ).select(
+            "cluster_id",
+            "distinct_captions_hll",
+            F.col("_q")[0].cast("int").alias("caption_len_p50"),
+            F.col("_q")[1].cast("int").alias("caption_len_p99"),
         )
         out = out.join(hll, "cluster_id")
     return out

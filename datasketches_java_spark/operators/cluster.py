@@ -16,6 +16,7 @@ back — same call site, sources/tables.write_checkpoint).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,20 +24,29 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
-    id_col: str = "image_id",
+    id_col: str = "id64",
     max_iter: int = 25,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(id_a, id_b) + vertices(id_col) → (id_col, cluster_id,
-    cluster_size); cluster_id = min member id (oracle convention).
+    cluster_size); cluster_id = min member id. Ids are the internal
+    int64 keys; the pipeline boundary remaps to strings and applies the
+    oracle's min-image_id convention.
 
     Only vertices that appear in an edge enter the iteration — at web
     scale the overwhelming majority of rows are singletons and must not
     pay the per-iteration shuffles; they rejoin as size-1 clusters at
     the end."""
-    # the iteration works on the (small) edge-touched subgraph; pin it
-    # to a handful of partitions so each of the O(log n) rounds costs a
-    # few tasks, not shuffle_partitions tasks per join
-    n_parts = max(4, min(16, edges.sparkSession.sparkContext.defaultParallelism // 2))
+    # partition the iteration by the size of the edge-touched subgraph,
+    # not a hardcoded cap: ~500k symmetric edge rows per partition keeps
+    # each of the O(log n) rounds a handful of tasks at bench scale yet
+    # grows linearly when the dup graph is a large fraction of a web
+    # corpus. n_edges (directed) is known upstream (the verified stage
+    # is counted when persisted); fall back to a count here if not.
+    if n_edges is None:
+        n_edges = edges.count()
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    n_parts = int(np.clip(2 * n_edges / 500_000, 4, 4 * par))
     sym = (
         edges.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .unionByName(edges.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))

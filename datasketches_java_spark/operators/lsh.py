@@ -1,60 +1,187 @@
-"""LSH candidate generation — skew-aware band self-join.
+"""LSH candidate generation — skew-aware, single-shuffle band grouping.
 
 Band-key groups follow a power law at web scale (SURVEY.md §4 custom
 work #1); a naive self-join on band_key turns one hot band of size g
 into g² rows. Two-tier strategy, the analog of the reference's
 quantile-driven Partitioner idea (partitions/Partitioner.java:113-166):
 
- 1. normal bands (group size <= cap): plain self-join; AQE skew-join
-    splits any residual stragglers.
+ 1. normal bands (group size <= cap): all within-group pairs.
  2. hot bands (> cap): pair each member with its sorted neighbor only
     (a chain). This preserves *connectivity* — the clustering stage
     still merges the whole group — while emitting O(g) instead of
-    O(g²) pairs. Chains are marked so recall accounting can report
-    which pairs came from the degraded path.
+    O(g²) pairs.
 
-The hot-band list is tiny by construction (at most |bands|/cap groups),
-so it is broadcast, never shuffled.
+Physical plan: ONE hash repartition on band_key + sortWithinPartitions
+(so each group is contiguous inside its partition), then an Arrow map
+stage emits pairs with the cap/chain policy vectorized in NumPy. The
+round-1 design did the same work with four shuffles (count, anti-join,
+self-join, window); this shape moves each band row through the JVM
+exactly once — the property that matters at 100 TB, where the exploded
+band table is the largest shuffle of the whole pipeline.
+
+Per-channel caps ride on the key's sign (>=0 caption MinHash, <0 pHash
+block pairs — see operators/signatures.py), so no flag column travels.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, FROZEN
 
+PAIR_SCHEMA = "id_a bigint, id_b bigint"
+
+
+def _triangular_pairs(
+    ids: np.ndarray, starts: np.ndarray, sizes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group (i<j) pairs for groups laid out contiguously in
+    `ids`. Fully vectorized triangular-index decode (no per-group loop)."""
+    m = sizes * (sizes - 1) // 2
+    total = int(m.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    gidx = np.repeat(np.arange(len(sizes), dtype=np.int64), m)
+    t = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    n = sizes[gidx].astype(np.int64)
+    # i = floor((2n-1 - sqrt((2n-1)² - 8t)) / 2); exact in float64 for
+    # n <= ~1e6, with an integer fix-up for boundary rounding
+    disc = (2 * n - 1).astype(np.float64) ** 2 - 8 * t.astype(np.float64)
+    i = ((2 * n - 1) - np.sqrt(disc)).astype(np.int64) // 2
+    # fix-up: ensure S(i) <= t < S(i+1), S(i) = i*n - i(i+1)/2
+    s_i = i * n - i * (i + 1) // 2
+    i = np.where(t < s_i, i - 1, i)
+    s_i = i * n - i * (i + 1) // 2
+    s_next = (i + 1) * n - (i + 1) * (i + 2) // 2
+    i = np.where(t >= s_next, i + 1, i)
+    s_i = i * n - i * (i + 1) // 2
+    j = t - s_i + i + 1
+    base = starts[gidx]
+    return ids[base + i], ids[base + j]
+
+
+def _chain_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-neighbor chain over one hot group (O(g) pairs, connects
+    the whole group for the clustering stage)."""
+    if len(ids) < 2:
+        e = np.empty(0, np.int64)
+        return e, e
+    return ids[:-1], ids[1:]
+
+
+def _emit(
+    keys: np.ndarray, ids: np.ndarray, cap_caption: int, cap_phash: int,
+) -> pd.DataFrame | None:
+    """Pairs for a run of complete groups (keys sorted, ids sorted
+    within each key)."""
+    if len(keys) == 0:
+        return None
+    boundary = np.ones(len(keys), dtype=bool)
+    boundary[1:] = keys[1:] != keys[:-1]
+    starts = np.nonzero(boundary)[0]
+    sizes = np.diff(np.append(starts, len(keys)))
+    multi = sizes >= 2
+    if not multi.any():
+        return None
+    starts, sizes = starts[multi], sizes[multi]
+    caps = np.where(keys[starts] < 0, cap_phash, cap_caption)
+
+    normal = sizes <= caps
+    a1, b1 = _triangular_pairs(ids, starts[normal], sizes[normal])
+
+    hot = ~normal
+    chains_a, chains_b = [], []
+    for s, g in zip(starts[hot], sizes[hot]):
+        ca, cb = _chain_pairs(ids[s : s + g])
+        chains_a.append(ca)
+        chains_b.append(cb)
+    if chains_a:
+        a2 = np.concatenate([a1] + chains_a)
+        b2 = np.concatenate([b1] + chains_b)
+    else:
+        a2, b2 = a1, b1
+    if len(a2) == 0:
+        return None
+    keep = a2 != b2  # same id64 twice under one key (band collision)
+    return pd.DataFrame({"id_a": a2[keep], "id_b": b2[keep]})
+
+
+def _pair_gen(cfg: DedupConfig):
+    cap_c, cap_p = cfg.band_group_cap, cfg.phash_band_cap
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # carry: rows of the last (possibly incomplete) key in the
+        # partition so far. If the carried group already exceeds both
+        # caps it is chain-mode for certain → emit incrementally and
+        # keep only its tail element (bounded memory on giant bands).
+        carry_k = np.empty(0, np.int32)
+        carry_i = np.empty(0, np.int64)
+        carry_chain_overflow = False
+
+        def flush(k: np.ndarray, i: np.ndarray, chain_all: bool):
+            if chain_all:
+                ca, cb = _chain_pairs(i)
+                if len(ca):
+                    keep = ca != cb
+                    yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
+                return
+            out = _emit(k, i, cap_c, cap_p)
+            if out is not None:
+                yield out
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            k = np.concatenate([carry_k, pdf["band_key"].to_numpy(np.int32)])
+            i = np.concatenate([carry_i, pdf["id64"].to_numpy(np.int64)])
+            last_key = k[-1]
+            tail_start = np.searchsorted(k, last_key, side="left") if k[0] != last_key else 0
+            # rows strictly before the last key's run are complete groups
+            if tail_start > 0:
+                if carry_chain_overflow:
+                    # the first group in k is the continuation of an
+                    # overflowed chain group — stitch its chain, then
+                    # emit the rest normally
+                    first_end = np.searchsorted(k, k[0], side="right")
+                    ca, cb = _chain_pairs(i[:first_end])
+                    if len(ca):
+                        keep = ca != cb
+                        yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
+                    yield from flush(k[first_end:tail_start], i[first_end:tail_start], False)
+                    carry_chain_overflow = False
+                else:
+                    yield from flush(k[:tail_start], i[:tail_start], False)
+            carry_k, carry_i = k[tail_start:], i[tail_start:]
+            max_cap = max(cap_c, cap_p)
+            if len(carry_k) > max_cap and not carry_chain_overflow:
+                carry_chain_overflow = True
+            if carry_chain_overflow and len(carry_i) > 1:
+                ca, cb = _chain_pairs(carry_i)
+                keep = ca != cb
+                yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
+                carry_k, carry_i = carry_k[-1:], carry_i[-1:]
+        # end of partition: the carried group is complete
+        if len(carry_k):
+            yield from flush(carry_k, carry_i, carry_chain_overflow)
+
+    return gen
+
 
 def candidate_pairs(band_rows: DataFrame, cfg: DedupConfig = FROZEN) -> DataFrame:
-    """(image_id, band_key, is_phash) rows → distinct candidate
-    (id_a < id_b) pairs. pHash blocks are coarse (256 values), so their
-    cap is much tighter than the caption MinHash bands'."""
-    cap_expr = F.when(F.col("is_phash"), F.lit(cfg.phash_band_cap)).otherwise(
-        F.lit(cfg.band_group_cap)
-    )
-    counts = band_rows.groupBy("band_key").agg(
-        F.count("*").alias("n"), F.first("is_phash").alias("is_phash")
-    )
-    hot_keys = counts.filter(F.col("n") > cap_expr).select("band_key")
+    """(id64, band_key) rows → distinct candidate (id_a < id_b) pairs.
 
-    normal = band_rows.join(F.broadcast(hot_keys), "band_key", "left_anti")
-    a = normal.alias("a")
-    b = normal.alias("b")
-    pairs = (
-        a.join(b, "band_key")
-        .filter(F.col("a.image_id") < F.col("b.image_id"))
-        .select(
-            F.col("a.image_id").alias("id_a"),
-            F.col("b.image_id").alias("id_b"),
-        )
+    pHash blocks are coarse, so their cap is much tighter than the
+    caption MinHash bands' (sign of the key selects the cap)."""
+    spark = band_rows.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    grouped = band_rows.repartition(par, "band_key").sortWithinPartitions(
+        "band_key", "id64"
     )
-
-    hot_rows = band_rows.join(F.broadcast(hot_keys), "band_key")
-    w = Window.partitionBy("band_key").orderBy("image_id")
-    chains = (
-        hot_rows.withColumn("nxt", F.lead("image_id").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.col("image_id").alias("id_a"), F.col("nxt").alias("id_b"))
-    )
-
-    return pairs.unionByName(chains).distinct()
+    pairs = grouped.mapInPandas(_pair_gen(cfg), PAIR_SCHEMA)
+    return pairs.distinct()

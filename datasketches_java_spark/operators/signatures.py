@@ -1,15 +1,24 @@
 """Signature map stage: corpus rows → sketch columns, one Arrow pass.
 
 Each batch computes, fully vectorized (no per-row Python):
- - kmv_sig: bottom-k KMV/Theta signature of caption char-k shingles
-   (reference T1, theta/HeapQuickSelectSketch.java:233-261 semantics)
- - bands: LSH band keys = 32 caption bands (OPH MinHash b=32 r=8) +
-   6 pHash block-pair keys (C(4,2) combinations of the four 16-bit
-   blocks; any error pattern confined to <=2 blocks is guaranteed a
-   candidate — covers all Hamming<=2; 3-8 bit errors are probabilistic)
+ - sig: bottom-k KMV/Theta signature of caption char-k shingles
+   (reference T1, theta/HeapQuickSelectSketch.java:233-261 semantics),
+   stored as the top-32 bits of each 63-bit hash (order-preserving
+   truncation → int32 column; per-pair spurious-match probability
+   ~k²/2³¹ ≈ 3e-5, far below the Jaccard estimator's own noise)
+ - bands: LSH band keys = 32 caption bands (OPH MinHash b=32 r=8,
+   non-negative int32) + 6 pHash block-pair keys (C(4,2) combinations
+   of the four 16-bit blocks, strictly negative int32 — the sign bit IS
+   the channel tag; any error pattern confined to <=2 blocks is
+   guaranteed a candidate, covering all Hamming<=2)
  - simhash: 64-bit Charikar signature over caption tokens
  - n_shingles: exact distinct shingle count (exact while < k, per the
    Theta sketch's exact mode)
+
+Rows are keyed by `id64 = xxhash64(image_id)` (computed JVM-side); all
+downstream shuffles move only fixed-width integers. At 10^12 rows a
+64-bit key needs a collision story — production uses the 128-bit
+variant (two xxhash64 seeds); at bench scale P(collision) < 1e-8.
 
 This is the only stage that reads captions/bytes; everything after it
 moves only ids + fixed-size sketch columns across shuffles — at 100 TB
@@ -33,9 +42,8 @@ from ..kernels.shingle import char_shingle_hashes, normalize_captions, token_has
 from ..kernels.simhash import simhash_batch
 
 SIG_SCHEMA = (
-    "image_id string, kmv_sig array<bigint>, bands array<bigint>, "
-    "pbands array<bigint>, simhash bigint, phash bigint, "
-    "n_shingles int, n_tokens int"
+    "id64 bigint, sig array<int>, bands array<int>, "
+    "simhash bigint, phash bigint, n_shingles int, n_tokens int"
 )
 
 
@@ -43,21 +51,23 @@ _BLOCK_PAIRS = ((0, 1), (2, 3), (0, 2), (1, 3), (0, 3), (1, 2))
 
 
 def phash_band_keys(phash: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
-    """int64[n, 6]: one key per *pair* of 16-bit pHash blocks.
+    """int32[n, 6] (all negative): one key per *pair* of 16-bit pHash blocks.
 
     Keys are the C(4,2)=6 two-block combinations of the four 16-bit
     blocks, so any error pattern confined to <= 2 blocks (covers all
     Hamming <= 2 and most realistic re-encode patterns, measured p99=4
     concentrated in low-order DCT bits) leaves the complementary pair
-    intact — guaranteed detection. 32-bit key space keeps random/skew
-    collisions ~n²/2^32 per key even on the correlated DCT-sign
-    distribution of natural/synthetic images, where single 16-bit
-    blocks measured 17M collision pairs on a 200k corpus.
+    intact — guaranteed detection. The mixed 32-bit key is forced
+    negative (sign bit set) so caption and pHash bands share one
+    exploded column without a separate channel flag. 31-bit key space
+    keeps random/skew collisions ~n²/2^31 per key even on the
+    correlated DCT-sign distribution of natural/synthetic images, where
+    single 16-bit blocks measured 17M collision pairs on a 200k corpus.
     n_bands <= 0 disables the channel (text-only tables).
     """
     ph = np.asarray(phash, dtype=np.int64).astype(np.uint64)
     if n_bands <= 0:
-        return np.empty((len(ph), 0), dtype=np.int64)
+        return np.empty((len(ph), 0), dtype=np.int32)
     blocks = [(ph >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)]
     out = np.empty((len(ph), len(_BLOCK_PAIRS)), dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -67,7 +77,10 @@ def phash_band_keys(phash: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
             out[:, idx] = mix64(
                 key ^ (np.uint64(idx) * np.uint64(0xD1B54A32D192ED03)) ^ s
             )
-    return (out >> np.uint64(1)).astype(np.int64)
+    # keep the top 31 mixed bits, set the sign bit → strictly negative
+    return (
+        (out >> np.uint64(33)).astype(np.int64) - np.int64(2**31)
+    ).astype(np.int32)
 
 
 def _signature_batches(cfg: DedupConfig):
@@ -79,21 +92,25 @@ def _signature_batches(cfg: DedupConfig):
             norm = normalize_captions(pdf["caption"])
             h, rows = char_shingle_hashes(norm, cfg.shingle_k, cfg.seed)
 
-            kmv_sigs = kmv.bottom_k_batch(h, rows, n, cfg.kmv_k)
-            n_shingles = np.zeros(n, dtype=np.int32)
-            if len(rows):
-                uniq = pd.DataFrame({"r": rows, "h": h}).drop_duplicates()
-                cnt = uniq.groupby("r").size()
-                n_shingles[cnt.index.to_numpy()] = cnt.to_numpy()
+            kmv_sigs, n_shingles = kmv.bottom_k_batch(
+                h, rows, n, cfg.kmv_k, return_counts=True
+            )
+            # top-32-bit truncation, order-preserving (63-bit → 31-bit)
+            sig32 = [
+                (s >> np.int64(32)).astype(np.int32) for s in kmv_sigs
+            ]
 
             mat, nonempty = oph_signature_matrix(h, rows, n, cfg.minhash_n, cfg.seed)
-            cap_bands = band_hashes(mat, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)
+            cap_bands = (
+                band_hashes(mat, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)
+                >> np.int64(32)
+            ).astype(np.int32)  # non-negative 31-bit keys
             if cfg.phash_bands > 0:
                 ph_bands = phash_band_keys(
                     pdf["phash"].to_numpy(np.int64), cfg.phash_bands, cfg.seed
                 )
             else:  # text-only tables: no image channel
-                ph_bands = np.empty((n, 0), dtype=np.int64)
+                ph_bands = np.empty((n, 0), dtype=np.int32)
 
             th, trows = token_hashes(norm, cfg.seed)
             sh = simhash_batch(th, trows, n)
@@ -102,14 +119,19 @@ def _signature_batches(cfg: DedupConfig):
                 tc = pd.Series(trows).value_counts()
                 n_tokens[tc.index.to_numpy()] = tc.to_numpy()
 
-            empty = np.empty(0, np.int64)
-            bands_col = [cap_bands[i] if nonempty[i] else empty for i in range(n)]
+            # one (n, 38) int32 matrix → per-row band lists; rows with
+            # no shingles keep only their pHash keys (an empty caption
+            # must not become an LSH wildcard)
+            allb = np.concatenate([cap_bands, ph_bands], axis=1)
+            ph_only = ph_bands
+            bands_col = [
+                allb[i] if nonempty[i] else ph_only[i] for i in range(n)
+            ]
             yield pd.DataFrame(
                 {
-                    "image_id": pdf["image_id"].to_numpy(),
-                    "kmv_sig": kmv_sigs,
+                    "id64": pdf["id64"].to_numpy(np.int64),
+                    "sig": sig32,
                     "bands": bands_col,
-                    "pbands": list(ph_bands),
                     "simhash": sh,
                     "phash": pdf["phash"].to_numpy(np.int64),
                     "n_shingles": n_shingles,
@@ -120,18 +142,36 @@ def _signature_batches(cfg: DedupConfig):
     return gen
 
 
+def with_id64(corpus: DataFrame) -> DataFrame:
+    """Attach the internal 64-bit row key (JVM-side xxhash64 — reference
+    hash/XxHash64.java is the same algorithm family, SURVEY X2)."""
+    return corpus.withColumn("id64", F.xxhash64("image_id"))
+
+
+def id_map(corpus: DataFrame) -> DataFrame:
+    """(id64, image_id) dimension for boundary remaps. Small relative to
+    the corpus (two columns); broadcast below ~10M rows, bucketed join
+    above."""
+    return corpus.select(F.xxhash64("image_id").alias("id64"), "image_id")
+
+
 def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN) -> DataFrame:
-    """corpus (input_hint schema) → signature table.
+    """corpus (input_hint schema) → signature table keyed by id64.
 
     Column pruning matters: select only what the kernel reads so the
     parquet scan never materializes `bytes` (check ReadSchema in
     .explain — the 100 TB of pixels stays on disk).
     """
-    cols = ["image_id", "caption"]
     if "phash" in corpus.columns:
-        slim = corpus.select(*cols, "phash")
+        slim = corpus.select(
+            F.xxhash64("image_id").alias("id64"), "caption", "phash"
+        )
     else:
-        slim = corpus.select(*cols, F.lit(0).cast("bigint").alias("phash"))
+        slim = corpus.select(
+            F.xxhash64("image_id").alias("id64"),
+            "caption",
+            F.lit(0).cast("bigint").alias("phash"),
+        )
     # Input splits follow file layout (maxPartitionBytes), which for a
     # byte-heavy corpus can mean 1-2 splits of the *projected* columns —
     # starving the CPU-bound kernel. Re-spread the slim projection (a
@@ -141,16 +181,7 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN) -> DataFram
 
 
 def explode_bands(signatures: DataFrame) -> DataFrame:
-    """(image_id, band_key, is_phash) — one row per LSH band, tagged
-    with its channel so the skew cap can differ per channel."""
-    cap = signatures.select(
-        "image_id",
-        F.explode("bands").alias("band_key"),
-        F.lit(False).alias("is_phash"),
-    )
-    ph = signatures.select(
-        "image_id",
-        F.explode("pbands").alias("band_key"),
-        F.lit(True).alias("is_phash"),
-    )
-    return cap.unionByName(ph)
+    """(id64, band_key) — one row per LSH band. The key's sign encodes
+    the channel (>=0 caption MinHash, <0 pHash block pair), so one
+    explode serves both channels with no flag column."""
+    return signatures.select("id64", F.explode("bands").alias("band_key"))

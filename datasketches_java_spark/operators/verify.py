@@ -3,9 +3,10 @@ candidate pair (theta/JaccardSimilarity.java:57-98 math via kernels.kmv),
 plus SimHash Hamming and pHash Hamming channels.
 
 Candidates join back to the signature table twice (shuffle hash join on
-id — at scale both sides are pre-bucketed by image_id so this co-
-locates), then one Arrow pass scores every channel. No caption or
-pixel bytes move here; optional exact-span LCS confirmation
+the fixed-width id64 key — at scale both sides are pre-bucketed by id
+so this co-locates), then one Arrow pass scores every channel. No
+caption or pixel bytes move here — the joined row is ~450 B (int32
+signature + two int64 hashes); optional exact-span LCS confirmation
 (kernels.suffix) runs in a second, much smaller pass only for pairs
 inside the decision margin.
 """
@@ -24,7 +25,7 @@ from ..kernels import kmv
 from ..kernels.simhash import hamming64
 
 VERIFY_SCHEMA = (
-    "id_a string, id_b string, jaccard_est double, jaccard_lb double, "
+    "id_a bigint, id_b bigint, jaccard_est double, jaccard_lb double, "
     "jaccard_ub double, simhash_hamming int, phash_hamming int, "
     "match_caption boolean, match_simhash boolean, match_phash boolean"
 )
@@ -36,8 +37,8 @@ def _verify_batches(cfg: DedupConfig):
             n = len(pdf)
             if n == 0:
                 continue
-            sig_a = [np.asarray(s, np.int64) for s in pdf["sig_a"]]
-            sig_b = [np.asarray(s, np.int64) for s in pdf["sig_b"]]
+            sig_a = list(pdf["sig_a"])
+            sig_b = list(pdf["sig_b"])
             lb, est, ub = kmv.jaccard_bounds_batch(sig_a, sig_b, cfg.kmv_k, 2.0)
             sh = hamming64(
                 pdf["sim_a"].to_numpy(np.int64), pdf["sim_b"].to_numpy(np.int64)
@@ -70,16 +71,17 @@ def _verify_batches(cfg: DedupConfig):
 def verify_pairs(
     candidates: DataFrame, signatures: DataFrame, cfg: DedupConfig = FROZEN
 ) -> DataFrame:
-    """Score candidate pairs on all channels; keep any-channel matches."""
+    """Score candidate (id64) pairs on all channels; keep any-channel
+    matches. Input ids and output ids are the internal int64 keys."""
     sa = signatures.select(
-        F.col("image_id").alias("id_a"),
-        F.col("kmv_sig").alias("sig_a"),
+        F.col("id64").alias("id_a"),
+        F.col("sig").alias("sig_a"),
         F.col("simhash").alias("sim_a"),
         F.col("phash").alias("ph_a"),
     )
     sb = signatures.select(
-        F.col("image_id").alias("id_b"),
-        F.col("kmv_sig").alias("sig_b"),
+        F.col("id64").alias("id_b"),
+        F.col("sig").alias("sig_b"),
         F.col("simhash").alias("sim_b"),
         F.col("phash").alias("ph_b"),
     )
@@ -99,6 +101,7 @@ def confirm_spans(
     Only pairs with |jaccard_est − threshold| < margin re-fetch their
     captions (a tiny fraction), so the expensive exact check never
     touches the full corpus. Adds `lcs_len` and `lcs_frac` columns.
+    Operates on string-id verified pairs (pipeline boundary schema).
     """
     from ..kernels.suffix import lcs_batch
 

@@ -6,6 +6,12 @@ them and (when `checkpoint_root` is given) persists each stage with the
 frozen config hash in the path, so a re-run resumes from the last
 completed stage and reproduces identical outputs (north rule:
 "resumable from checkpoint with per-partition lineage + metrics").
+
+Internal dataflow is keyed by `id64 = xxhash64(image_id)` and carries
+int32 signatures/band keys (operators/signatures.py) — every shuffle
+between the scan and the final cluster table moves only fixed-width
+integers. String image_ids re-enter at the two boundary products
+(`verified`, `clusters`) via a broadcast join against the slim id map.
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig, FROZEN
 from ..operators.cluster import connected_components
 from ..operators.lsh import candidate_pairs
-from ..operators.signatures import compute_signatures, explode_bands
+from ..operators.signatures import compute_signatures, explode_bands, id_map
 from ..operators.verify import verify_pairs
 from ..sources import tables
 
@@ -29,8 +35,9 @@ from ..sources import tables
 class PipelineResult:
     signatures: DataFrame
     candidates: DataFrame
-    verified: DataFrame
-    clusters: DataFrame
+    verified64: DataFrame
+    verified: DataFrame      # boundary schema: string id_a < id_b + scores
+    clusters: DataFrame      # boundary schema: image_id, cluster_id, cluster_size
     metrics: dict = field(default_factory=dict)
 
 
@@ -78,6 +85,20 @@ def _stage(
     return df
 
 
+def _remap_pairs(pairs64: DataFrame, idmap: DataFrame) -> DataFrame:
+    """int64 pairs → string pairs with id_a < id_b (golden convention).
+    All score columns are symmetric, so the swap is value-preserving."""
+    ma = idmap.select(F.col("id64").alias("id_a"), F.col("image_id").alias("name_a"))
+    mb = idmap.select(F.col("id64").alias("id_b"), F.col("image_id").alias("name_b"))
+    named = pairs64.join(F.broadcast(ma), "id_a").join(F.broadcast(mb), "id_b")
+    extra = [c for c in pairs64.columns if c not in ("id_a", "id_b")]
+    return named.select(
+        F.least("name_a", "name_b").alias("id_a"),
+        F.greatest("name_a", "name_b").alias("id_b"),
+        *extra,
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     corpus: DataFrame,
@@ -98,25 +119,50 @@ def run_pipeline(
         lambda: candidate_pairs(explode_bands(signatures), cfg), metrics,
         persist=True,
     )
-    verified = _stage(
+    verified64 = _stage(
         spark, checkpoint_root, "verified",
         lambda: verify_pairs(candidates, signatures, cfg), metrics, persist=True,
     )
 
-    vertices = signatures.select("image_id")
-    clusters = _stage(
+    vertices = signatures.select("id64")
+    labels64 = _stage(
         spark, checkpoint_root, "clusters",
         lambda: connected_components(
-            verified.select("id_a", "id_b"), vertices
+            verified64.select("id_a", "id_b"), vertices,
+            n_edges=metrics["verified_rows"],
         ), metrics,
     )
 
-    result = PipelineResult(signatures, candidates, verified, clusters, metrics)
+    # boundary remaps: internal int64 keys → image_id strings. The id
+    # map is two slim columns; broadcast at this scale, bucketed join at
+    # web scale. Computed lazily — consumers that stay on id64 (the
+    # bench loop, audits) never pay for it.
+    idmap = id_map(corpus)
+    verified = _remap_pairs(verified64, idmap)
+    named = labels64.join(F.broadcast(idmap), "id64")
+    minname = named.groupBy(F.col("cluster_id").alias("cid64")).agg(
+        F.min("image_id").alias("min_name")
+    )
+    clusters = (
+        named.select(
+            F.col("cluster_id").alias("cid64"), "image_id", "cluster_size"
+        )
+        .join(minname, "cid64")
+        .select(
+            "image_id",
+            F.col("min_name").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+    result = PipelineResult(
+        signatures, candidates, verified64, verified, clusters, metrics
+    )
     if with_audits:
         from ..operators.audits import cluster_audits
 
-        result.metrics["audits"] = None
-        result.audits = cluster_audits(spark, clusters, signatures, cfg)
+        result.audits = cluster_audits(spark, clusters, signatures, cfg,
+                                       corpus=corpus)
     return result
 
 
