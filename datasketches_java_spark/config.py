@@ -57,7 +57,8 @@ class DedupConfig:
     phash_bands: int = 4
 
     # skew control: band groups larger than the cap fall back to
-    # sorted-neighbor chain pairing (connectivity preserved, O(g) pairs)
+    # min-member star pairing (connectivity preserved, O(g) pairs,
+    # graph diameter 2 so clustering converges in O(1) rounds)
     band_group_cap: int = 2000    # caption MinHash bands
     phash_band_cap: int = 128     # pHash blocks are coarser → tighter cap
 

@@ -38,8 +38,10 @@ def bottom_k_batch(
     hash counts per row (free — the dedupe pass computes them anyway).
     """
     counts = np.zeros(n_rows, dtype=np.int32)
+    hashes = np.asarray(hashes)
+    dt = hashes.dtype if len(hashes) else np.int64
     if len(hashes) == 0:
-        out0 = [np.empty(0, np.int64)] * n_rows
+        out0 = [np.empty(0, dt)] * n_rows
         return (out0, counts) if return_counts else out0
     order = np.lexsort((hashes, rows))
     h, r = hashes[order], rows[order]
@@ -57,7 +59,7 @@ def bottom_k_batch(
     rank = np.arange(len(r)) - np.repeat(start_idx, seg_len)
     sel = rank < k
     h, r = h[sel], r[sel]
-    out: list[np.ndarray] = [np.empty(0, np.int64)] * n_rows
+    out: list[np.ndarray] = [np.empty(0, dt)] * n_rows
     if len(r):
         bounds = np.nonzero(np.diff(r))[0] + 1
         # np.split yields views into h — no per-row copies

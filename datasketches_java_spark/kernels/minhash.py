@@ -28,24 +28,33 @@ import numpy as np
 from .hashing import mix64, seed_mix
 
 _EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+_EMPTY32 = np.uint32(0xFFFFFFFF)
 
 
 def oph_signature_matrix(
     hashes: np.ndarray, rows: np.ndarray, n_rows: int, n_bins: int, seed: int = 9001
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(sig_matrix uint64[n_rows, n_bins], nonempty bool[n_rows]).
+    """(sig_matrix uint[n_rows, n_bins], nonempty bool[n_rows]).
 
-    hashes: 63-bit shingle hashes (int64), rows: batch row per shingle.
-    Bin index = top bits of the hash (the "one permutation"); bin value
-    = the hash itself. Empty bins are densified by doubling-shift
-    borrow; fully-empty rows are flagged (caller emits null signature).
+    hashes: shingle hashes — int64 (63-bit lane) or int32 (the
+    pipeline's 31-bit narrow lane; the matrix is then uint32, halving
+    the traffic of the hottest allocation in the signature stage).
+    rows: batch row per shingle. Bin index = top bits of the hash (the
+    "one permutation"); bin value = the hash itself. Empty bins are
+    densified per-bin-probe borrowing; fully-empty rows are flagged
+    (caller emits null signature).
     """
     assert n_bins & (n_bins - 1) == 0, "n_bins must be a power of two"
-    shift = np.uint64(63 - int(np.log2(n_bins)))
-    mat = np.full((n_rows, n_bins), _EMPTY, dtype=np.uint64)
+    hashes = np.asarray(hashes)
+    narrow = hashes.dtype == np.int32
+    bits = 31 if narrow else 63
+    udt = np.uint32 if narrow else np.uint64
+    empty = _EMPTY32 if narrow else _EMPTY
+    shift = udt(bits - int(np.log2(n_bins)))
+    mat = np.full((n_rows, n_bins), empty, dtype=udt)
 
     if len(hashes):
-        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        h = hashes.astype(udt)
         bins = (h >> shift).astype(np.int64)
         key = np.asarray(rows, dtype=np.int64) * n_bins + bins
         order = np.lexsort((h, key))
@@ -54,7 +63,7 @@ def oph_signature_matrix(
         first[1:] = key_s[1:] != key_s[:-1]
         mat.reshape(-1)[key_s[first]] = h_s[first]
 
-    nonempty_row = (mat != _EMPTY).any(axis=1)
+    nonempty_row = (mat != empty).any(axis=1)
     _densify(mat, n_bins, seed)
     return mat, nonempty_row
 
@@ -77,7 +86,8 @@ def _densify(mat: np.ndarray, n_bins: int, seed: int, max_attempts: int = 64) ->
     bin. Falls back to circular shift for bins still empty after
     max_attempts (only near-empty rows, where variance is moot)."""
     flat = mat.reshape(-1)
-    filled0_flat = flat != _EMPTY
+    empty = _EMPTY32 if mat.dtype == np.uint32 else _EMPTY
+    filled0_flat = flat != empty
     if filled0_flat.all():
         return
     probes = _probe_targets(n_bins, seed, max_attempts)
@@ -118,14 +128,15 @@ def band_hashes(
     sig: np.ndarray, b: int, r: int, seed: int = 9001
 ) -> np.ndarray:
     """int64[n_rows, b] — one 63-bit key per band, band index mixed in
-    so identical r-tuples in different bands never collide."""
+    so identical r-tuples in different bands never collide. Accepts the
+    uint32 narrow-lane matrix (values are widened during mixing only)."""
     n_rows, n = sig.shape
     assert n == b * r
     bands = sig.reshape(n_rows, b, r)
     acc = np.broadcast_to(seed_mix(seed), (n_rows, b)).copy()
     with np.errstate(over="ignore"):
         for j in range(r):
-            acc = mix64(acc ^ bands[:, :, j])
+            acc = mix64(acc ^ bands[:, :, j].astype(np.uint64))
         band_idx = np.arange(b, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         acc = mix64(acc ^ band_idx[None, :])
     return (acc >> np.uint64(1)).astype(np.int64)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .hashing import hash63, hash_bytes_batch, mix64, seed_mix
+from .hashing import hash64, hash_bytes_batch, mix64, seed_mix
 
 
 def normalize_captions(captions: pd.Series) -> pd.Series:
@@ -35,21 +35,31 @@ def _flatten_utf8(strings: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
 
 
 def char_shingle_hashes(
-    captions: pd.Series, k: int = 5, seed: int = 9001
+    captions: pd.Series, k: int = 5, seed: int = 9001, bits: int = 63
 ) -> tuple[np.ndarray, np.ndarray]:
-    """63-bit hashes of all char-k shingles in a batch of captions.
+    """Seeded hashes of all char-k shingles in a batch of captions.
 
-    Returns (hashes int64[M], rows int64[M]) where rows[i] is the batch
-    row index the i-th shingle belongs to. Rows shorter than k chars
-    contribute one whole-string shingle; empty rows contribute nothing.
-    Shingles are byte windows of the UTF-8 encoding (k <= 8 packs a
-    window into one uint64 before hashing).
+    Returns (hashes, rows int64[M]) where rows[i] is the batch row
+    index the i-th shingle belongs to. bits=63 (default) returns
+    non-negative int64 (reference `hash[0] >>> 1` convention); bits=31
+    returns non-negative int32 — the pipeline's narrow lane, which
+    halves the memory traffic of every downstream sort/sketch (identity
+    is hash equality in the reference too, so 31-bit identity only adds
+    a ~k²/2³¹ per-row collision term, far below estimator noise).
+    Rows shorter than k chars contribute one whole-string shingle;
+    empty rows contribute nothing. Shingles are byte windows of the
+    UTF-8 encoding (k <= 8 packs a window into one uint64 before
+    hashing).
     """
     if k > 8:
         raise ValueError("char_shingle_hashes supports k <= 8 (packed uint64)")
+    if bits not in (31, 63):
+        raise ValueError("bits must be 31 or 63")
+    dt = np.int64 if bits == 63 else np.int32
+    shift = np.uint64(64 - bits)
     n = len(captions)
     if n == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.empty(0, dt), np.empty(0, np.int64)
     data, starts, lens = _flatten_utf8(captions)
     total = len(data)
     row_of_pos = np.repeat(np.arange(n, dtype=np.int64), lens)
@@ -66,18 +76,18 @@ def char_shingle_hashes(
         with np.errstate(over="ignore"):
             for j in range(k):
                 packed = (packed << np.uint64(8)) | win[:, j].astype(np.uint64)
-        out_h.append(hash63(packed[valid], seed))
+        out_h.append((hash64(packed[valid], seed) >> shift).astype(dt))
         out_r.append(row_of_pos[: total - k + 1][valid])
 
     short = (lens > 0) & (lens < k)
     if short.any():
         idx = np.nonzero(short)[0]
         h = hash_bytes_batch(data, starts[idx], lens[idx], seed)
-        out_h.append((h >> np.uint64(1)).astype(np.int64))
+        out_h.append((h >> shift).astype(dt))
         out_r.append(idx.astype(np.int64))
 
     if not out_h:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.empty(0, dt), np.empty(0, np.int64)
     hashes = np.concatenate(out_h)
     rows = np.concatenate(out_r)
     order = np.argsort(rows, kind="stable")

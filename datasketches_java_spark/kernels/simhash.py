@@ -24,24 +24,28 @@ def simhash_batch(
         rows = np.asarray(rows, dtype=np.int64)
         order = np.argsort(rows, kind="stable")
         th_s, rows_s = np.asarray(token_h, dtype=np.uint64)[order], rows[order]
-        bits = np.unpackbits(
-            th_s.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
-        )  # (M, 64) uint8, MSB first
+        starts = np.nonzero(np.r_[True, rows_s[1:] != rows_s[:-1]])[0]
         if weights is not None:
+            bits = np.unpackbits(
+                th_s.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
+            )  # (M, 64) uint8, MSB first
             w = np.asarray(weights, dtype=np.float64)[order]
             votes = (bits.astype(np.float64) * 2 - 1) * w[:, None]
             # segment-sum per row (reduceat: ~30x faster than add.at)
-            starts = np.nonzero(np.r_[True, rows_s[1:] != rows_s[:-1]])[0]
             sums = np.add.reduceat(votes, starts, axis=0)
             acc = acc.astype(np.float64)
             acc[rows_s[starts]] = sums
         else:
-            starts = np.nonzero(np.r_[True, rows_s[1:] != rows_s[:-1]])[0]
-            # dtype= on reduceat widens the uint8 bits during the
-            # reduction itself — no (M, 64) int64 materialization (that
-            # temp was ~0.5 GB per 1M-token batch and dominated the
-            # whole signature stage on slow-memory hosts)
-            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+            # per-bit 1-D reduceat on the raw uint64 hashes: stays in
+            # the fast ufunc inner loop and never materializes an
+            # (M, 64) wide matrix (both the int64 astype and the
+            # dtype=-widened 2-D reduceat measured 5-100x slower)
+            ones = np.empty((len(starts), 64), dtype=np.int64)
+            one = np.uint64(1)
+            for b in range(64):
+                ones[:, 63 - b] = np.add.reduceat(
+                    (th_s >> np.uint64(b)) & one, starts
+                ).astype(np.int64)
             seg_len = np.diff(np.append(starts, len(rows_s)))
             acc[rows_s[starts]] = 2 * ones - seg_len[:, None]
     out_bits = (acc > 0).astype(np.uint8)

@@ -52,7 +52,8 @@ def cluster_audits(
     joined = members.join(sig, "id64")
 
     def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        sigs = [np.asarray(s) for s in pdf["sig"]]
+        # sig wire format: little-endian int32 bytes
+        sigs = [np.frombuffer(s, dtype="<i4") for s in pdf["sig"]]
         n = len(pdf)
         u = kmv.union_many(sigs, k)
         lb, est, ub = kmv.estimate_bounds(u, k, 2, hash_space=_HASH_SPACE_32)

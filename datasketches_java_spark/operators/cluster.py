@@ -3,15 +3,19 @@
 Catalyst has no fixpoint operator (SURVEY.md §4 custom work #2), so
 this is a driver loop of DataFrame joins: min-label propagation with
 pointer jumping (label(x) ← label(label(x)) each round), which
-converges in O(log n) rounds even on path graphs — the degenerate
-shape our hot-band chain pairing produces. Equivalent to the
-two-phase large-star/small-star construction (Kiveris et al., "
-Connected Components in MapReduce and Beyond", SoCC 2014) but with
-half the joins per round.
+converges in O(log n) rounds even on path graphs. Equivalent to the
+two-phase large-star/small-star construction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) but with
+half the joins per round. The LSH stage emits hot groups as min-member
+STARS (operators/lsh.py), so the dup graph's diameter is small by
+construction and the loop usually converges in 2-3 rounds.
 
 Each iteration `localCheckpoint`s the label table to truncate lineage
 (at production scale: write the label table to Iceberg and read it
-back — same call site, sources/tables.write_checkpoint).
+back — same call site, sources/tables.write_checkpoint). The loop runs
+at its own shuffle parallelism, derived from the edge count, so each
+O(log n) round costs a handful of tasks instead of
+spark.sql.shuffle.partitions tasks per join.
 """
 
 from __future__ import annotations
@@ -37,85 +41,94 @@ def connected_components(
     scale the overwhelming majority of rows are singletons and must not
     pay the per-iteration shuffles; they rejoin as size-1 clusters at
     the end."""
-    # partition the iteration by the size of the edge-touched subgraph,
-    # not a hardcoded cap: ~500k symmetric edge rows per partition keeps
-    # each of the O(log n) rounds a handful of tasks at bench scale yet
-    # grows linearly when the dup graph is a large fraction of a web
-    # corpus. n_edges (directed) is known upstream (the verified stage
-    # is counted when persisted); fall back to a count here if not.
+    spark = edges.sparkSession
     if n_edges is None:
         n_edges = edges.count()
-    par = edges.sparkSession.sparkContext.defaultParallelism
+    par = spark.sparkContext.defaultParallelism
+    # ~500k symmetric edge rows per partition: a handful of tasks per
+    # round at bench scale, linear growth when the dup graph is a large
+    # fraction of a web corpus (no hardcoded cap)
     n_parts = int(np.clip(2 * n_edges / 500_000, 4, 4 * par))
-    sym = (
-        edges.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
-        .unionByName(edges.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
-        .repartition(n_parts, "x")
-        .localCheckpoint()
-    )
 
-    # alias() forces fresh exprIds so joining labels back to sym is not
-    # flagged as an ambiguous self-join
-    labels = (
-        sym.select("x").distinct()
-        .select(F.col("x").alias("x"), F.col("x").alias("label"))
-        .localCheckpoint()
-    )
-
-    for _ in range(max_iter):
-        # neighbor-min: smallest label among my neighbors
-        neigh = (
-            sym.join(labels, sym["y"] == labels["x"])
-            .groupBy(sym["x"].alias("x"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, "x", "left")
-            .select(
-                "x",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        sym = (
+            edges.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+            .unionByName(
+                edges.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
             )
-        )
-        # pointer jump: label(x) <- label(label(x))
-        l2 = new_labels.select(
-            F.col("x").alias("lx"), F.col("label").alias("llabel")
-        )
-        jumped = (
-            new_labels.join(l2, new_labels["label"] == l2["lx"], "left")
-            .select(
-                "x",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
-                ).alias("label"),
-            )
+            .repartition(n_parts, "x")
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "x")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
 
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    connected = labels.join(sizes, "label").select(
-        F.col("x").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        F.col("cluster_size").cast("int").alias("cluster_size"),
-    )
-    singletons = (
-        vertices.select(F.col(id_col))
-        .join(labels.select(F.col("x").alias(id_col)), id_col, "left_anti")
-        .select(
-            F.col(id_col),
-            F.col(id_col).alias("cluster_id"),
-            F.lit(1).cast("int").alias("cluster_size"),
+        # round-0 fused into initialization: label(x) = min(x, min
+        # neighbor) in the same shuffle that builds the label table.
+        # alias() forces fresh exprIds so joining labels back to sym is
+        # not flagged as an ambiguous self-join
+        labels = (
+            sym.groupBy("x")
+            .agg(F.least(F.first("x"), F.min("y")).alias("label"))
+            .select(F.col("x").alias("x"), F.col("label").alias("label"))
+            .localCheckpoint()
         )
-    )
-    return connected.unionByName(singletons)
+
+        for _ in range(max_iter):
+            # neighbor-min: smallest label among my neighbors
+            neigh = (
+                sym.join(labels, sym["y"] == labels["x"])
+                .groupBy(sym["x"].alias("x"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neigh, "x", "left")
+                .select(
+                    "x",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            # pointer jump: label(x) <- label(label(x))
+            l2 = new_labels.select(
+                F.col("x").alias("lx"), F.col("label").alias("llabel")
+            )
+            jumped = (
+                new_labels.join(l2, new_labels["label"] == l2["lx"], "left")
+                .select(
+                    "x",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "x")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                break
+
+        sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+        connected = labels.join(sizes, "label").select(
+            F.col("x").alias(id_col),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+        )
+        singletons = (
+            vertices.select(F.col(id_col))
+            .join(labels.select(F.col("x").alias(id_col)), id_col, "left_anti")
+            .select(
+                F.col(id_col),
+                F.col(id_col).alias("cluster_id"),
+                F.lit(1).cast("int").alias("cluster_size"),
+            )
+        )
+        return connected.unionByName(singletons)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

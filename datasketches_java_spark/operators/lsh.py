@@ -6,10 +6,12 @@ into g² rows. Two-tier strategy, the analog of the reference's
 quantile-driven Partitioner idea (partitions/Partitioner.java:113-166):
 
  1. normal bands (group size <= cap): all within-group pairs.
- 2. hot bands (> cap): pair each member with its sorted neighbor only
-    (a chain). This preserves *connectivity* — the clustering stage
-    still merges the whole group — while emitting O(g) instead of
-    O(g²) pairs.
+ 2. hot bands (> cap): pair every member with the group's minimum
+    member (a star). This preserves *connectivity* — the clustering
+    stage still merges the whole group — while emitting O(g) instead
+    of O(g²) pairs, and keeps the dup graph's diameter at 2 so the
+    pointer-jumping clustering loop converges in O(1) rounds (a
+    sorted-neighbor chain would add log₂(cap) rounds).
 
 Physical plan: ONE hash repartition on band_key + sortWithinPartitions
 (so each group is contiguous inside its partition), then an Arrow map
@@ -66,13 +68,13 @@ def _triangular_pairs(
     return ids[base + i], ids[base + j]
 
 
-def _chain_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted-neighbor chain over one hot group (O(g) pairs, connects
-    the whole group for the clustering stage)."""
+def _star_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Min-member star over one hot group (O(g) pairs, connects the
+    whole group at graph diameter 2). ids sorted → ids[0] is the hub."""
     if len(ids) < 2:
         e = np.empty(0, np.int64)
         return e, e
-    return ids[:-1], ids[1:]
+    return np.broadcast_to(ids[0], len(ids) - 1).copy(), ids[1:]
 
 
 def _emit(
@@ -96,14 +98,14 @@ def _emit(
     a1, b1 = _triangular_pairs(ids, starts[normal], sizes[normal])
 
     hot = ~normal
-    chains_a, chains_b = [], []
+    stars_a, stars_b = [], []
     for s, g in zip(starts[hot], sizes[hot]):
-        ca, cb = _chain_pairs(ids[s : s + g])
-        chains_a.append(ca)
-        chains_b.append(cb)
-    if chains_a:
-        a2 = np.concatenate([a1] + chains_a)
-        b2 = np.concatenate([b1] + chains_b)
+        ca, cb = _star_pairs(ids[s : s + g])
+        stars_a.append(ca)
+        stars_b.append(cb)
+    if stars_a:
+        a2 = np.concatenate([a1] + stars_a)
+        b2 = np.concatenate([b1] + stars_b)
     else:
         a2, b2 = a1, b1
     if len(a2) == 0:
@@ -118,15 +120,16 @@ def _pair_gen(cfg: DedupConfig):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # carry: rows of the last (possibly incomplete) key in the
         # partition so far. If the carried group already exceeds both
-        # caps it is chain-mode for certain → emit incrementally and
-        # keep only its tail element (bounded memory on giant bands).
+        # caps it is star-mode for certain → emit incrementally against
+        # the carried hub (the group's first = minimum id) and keep only
+        # the hub (bounded memory on giant bands).
         carry_k = np.empty(0, np.int32)
         carry_i = np.empty(0, np.int64)
-        carry_chain_overflow = False
+        carry_overflow = False
 
-        def flush(k: np.ndarray, i: np.ndarray, chain_all: bool):
-            if chain_all:
-                ca, cb = _chain_pairs(i)
+        def flush(k: np.ndarray, i: np.ndarray, star_all: bool):
+            if star_all:
+                ca, cb = _star_pairs(i)
                 if len(ca):
                     keep = ca != cb
                     yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
@@ -144,31 +147,32 @@ def _pair_gen(cfg: DedupConfig):
             tail_start = np.searchsorted(k, last_key, side="left") if k[0] != last_key else 0
             # rows strictly before the last key's run are complete groups
             if tail_start > 0:
-                if carry_chain_overflow:
-                    # the first group in k is the continuation of an
-                    # overflowed chain group — stitch its chain, then
+                if carry_overflow:
+                    # the first group in k completes an overflowed star
+                    # group — its hub is i[0] (carried); stitch, then
                     # emit the rest normally
-                    first_end = np.searchsorted(k, k[0], side="right")
-                    ca, cb = _chain_pairs(i[:first_end])
+                    first_end = int(np.searchsorted(k, k[0], side="right"))
+                    ca, cb = _star_pairs(i[:first_end])
                     if len(ca):
                         keep = ca != cb
                         yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
                     yield from flush(k[first_end:tail_start], i[first_end:tail_start], False)
-                    carry_chain_overflow = False
+                    carry_overflow = False
                 else:
                     yield from flush(k[:tail_start], i[:tail_start], False)
             carry_k, carry_i = k[tail_start:], i[tail_start:]
             max_cap = max(cap_c, cap_p)
-            if len(carry_k) > max_cap and not carry_chain_overflow:
-                carry_chain_overflow = True
-            if carry_chain_overflow and len(carry_i) > 1:
-                ca, cb = _chain_pairs(carry_i)
+            if len(carry_k) > max_cap and not carry_overflow:
+                carry_overflow = True
+            if carry_overflow and len(carry_i) > 1:
+                ca, cb = _star_pairs(carry_i)
                 keep = ca != cb
                 yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
-                carry_k, carry_i = carry_k[-1:], carry_i[-1:]
+                # keep the hub so continuation rows attach to it
+                carry_k, carry_i = carry_k[:1], carry_i[:1]
         # end of partition: the carried group is complete
         if len(carry_k):
-            yield from flush(carry_k, carry_i, carry_chain_overflow)
+            yield from flush(carry_k, carry_i, carry_overflow)
 
     return gen
 

@@ -2,9 +2,9 @@
 
 Each batch computes, fully vectorized (no per-row Python):
  - sig: bottom-k KMV/Theta signature of caption char-k shingles
-   (reference T1, theta/HeapQuickSelectSketch.java:233-261 semantics),
-   stored as the top-32 bits of each 63-bit hash (order-preserving
-   truncation → int32 column; per-pair spurious-match probability
+   (reference T1, theta/HeapQuickSelectSketch.java:233-261 semantics)
+   in the 31-bit hash lane, packed as little-endian int32 bytes (one
+   flat Arrow buffer per row; per-pair spurious-match probability
    ~k²/2³¹ ≈ 3e-5, far below the Jaccard estimator's own noise)
  - bands: LSH band keys = 32 caption bands (OPH MinHash b=32 r=8,
    non-negative int32) + 6 pHash block-pair keys (C(4,2) combinations
@@ -42,7 +42,7 @@ from ..kernels.shingle import char_shingle_hashes, normalize_captions, token_has
 from ..kernels.simhash import simhash_batch
 
 SIG_SCHEMA = (
-    "id64 bigint, sig array<int>, bands array<int>, "
+    "id64 bigint, sig binary, bands array<int>, "
     "simhash bigint, phash bigint, n_shingles int, n_tokens int"
 )
 
@@ -90,15 +90,16 @@ def _signature_batches(cfg: DedupConfig):
             if n == 0:
                 continue
             norm = normalize_captions(pdf["caption"])
-            h, rows = char_shingle_hashes(norm, cfg.shingle_k, cfg.seed)
+            # 31-bit narrow lane: every downstream sort/sketch moves
+            # half the bytes (see char_shingle_hashes docstring)
+            h, rows = char_shingle_hashes(norm, cfg.shingle_k, cfg.seed, bits=31)
 
             kmv_sigs, n_shingles = kmv.bottom_k_batch(
                 h, rows, n, cfg.kmv_k, return_counts=True
             )
-            # top-32-bit truncation, order-preserving (63-bit → 31-bit)
-            sig32 = [
-                (s >> np.int64(32)).astype(np.int32) for s in kmv_sigs
-            ]
+            # wire format: little-endian int32 bytes — Arrow moves one
+            # flat buffer per row instead of a list column
+            sig32 = [s.astype("<i4", copy=False).tobytes() for s in kmv_sigs]
 
             mat, nonempty = oph_signature_matrix(h, rows, n, cfg.minhash_n, cfg.seed)
             cap_bands = (

@@ -37,8 +37,9 @@ def _verify_batches(cfg: DedupConfig):
             n = len(pdf)
             if n == 0:
                 continue
-            sig_a = list(pdf["sig_a"])
-            sig_b = list(pdf["sig_b"])
+            # sig wire format: little-endian int32 bytes (zero-copy views)
+            sig_a = [np.frombuffer(s, dtype="<i4") for s in pdf["sig_a"]]
+            sig_b = [np.frombuffer(s, dtype="<i4") for s in pdf["sig_b"]]
             lb, est, ub = kmv.jaccard_bounds_batch(sig_a, sig_b, cfg.kmv_k, 2.0)
             sh = hamming64(
                 pdf["sim_a"].to_numpy(np.int64), pdf["sim_b"].to_numpy(np.int64)
