@@ -152,20 +152,33 @@ def _q_psample_docs(spark, sf_dir):
     )
 
 
-# ----- rows-only (sketch / LSH / corpus queries; accuracy gated in tests/) --
+# ----- sketch / LSH / corpus queries ---------------------------------------
 
 def _q_minhash_dup_docs(spark, sf_dir):
-    """LSH near-dup pairs over `documents` via the sketch pipeline."""
-    from datasketches_java_spark.plans.pipeline import dup_pairs_caption
+    """LSH near-dup pairs over `documents` via the sketch pipeline,
+    exact-rescored (operators/rescore.py) so the output is the exact
+    integer-Jaccard pair set — oracle-checkable against the same SQL as
+    the relational SSJoin (the LSH path must find the identical pairs)."""
+    from datasketches_java_spark.operators.rescore import exact_rescore_pairs
+    from datasketches_java_spark.plans.pipeline import run_pipeline_cached
 
-    d = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
         F.col("doc_id").cast("string").alias("image_id"),
         F.col("text").alias("caption"),
     )
-    from datasketches_java_spark.plans.pipeline import run_pipeline_cached
-
     res = run_pipeline_cached(spark, d, TEXT_CFG, f"docs:{sf_dir}")
-    return dup_pairs_caption(res.verified)
+    resc = exact_rescore_pairs(
+        res.verified, docs, "doc_id", "text", 5, 0.8, normalize=False
+    )
+    a = F.col("id_a").cast("bigint")
+    b = F.col("id_b").cast("bigint")
+    return resc.select(
+        F.least(a, b).alias("id_a"),
+        F.greatest(a, b).alias("id_b"),
+        "intersect_ct",
+        "union_ct",
+    )
 
 
 def _q_kmv_distinct_by_source(spark, sf_dir):
@@ -190,10 +203,60 @@ def _q_hll_users_by_type(spark, sf_dir):
 
 
 def _q_embedding_topk_cosine(spark, sf_dir):
-    from datasketches_java_spark.operators.similarity import brute_force_topk_cosine
+    from datasketches_java_spark.operators.similarity import brute_force_topk_cosine_q
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return brute_force_topk_cosine(emb, "vec_id", "embedding", 5)
+    return brute_force_topk_cosine_q(emb, "vec_id", "embedding", 5)
+
+
+def _q_bloom_customer_orders(spark, sf_dir):
+    """Bloom-filter shuffle-reduction prefilter (reference B1,
+    filters/bloomfilter/BloomFilter.java): customers that placed an
+    order — the filter admits candidates (no false negatives), the
+    exact semi-join confirms, so the result is oracle-exact while the
+    filter pruned the join's probe side."""
+    from datasketches_java_spark.operators.filters import (
+        bloom_build, bloom_might_contain,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    bf = bloom_build(orders, "o_custkey", max_distinct=200_000, target_fpp=0.01)
+    cand = bloom_might_contain(
+        cust.select("c_custkey", "c_name"), "c_custkey", bf
+    )
+    return cand.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    )
+
+
+def _q_countmin_tokens(spark, sf_dir):
+    """Count-Min point estimates per distinct token (reference M1,
+    count/CountMinSketch.java). Gate dims (d=6, w=2^17) put the sketch
+    in the collision-free regime at this tier so estimates equal exact
+    counts; the lossy-regime ε·N guarantee is pytest-checked against
+    the reference suggest formulas."""
+    from datasketches_java_spark.functions.text import tokens
+    from datasketches_java_spark.operators.filters import countmin_counts
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    return countmin_counts(toks, "token", num_hashes=6, num_buckets=1 << 17
+                           ).withColumnRenamed("item", "token")
+
+
+def _q_fdt_lang_source(spark, sf_dir):
+    """Frequent distinct tuples (reference U3, fdt/FdtSketch.java:49-166):
+    most frequent distinct (lang, source) combinations ranked by
+    distinct documents — the groupBy+distinct-count dataflow the FDT
+    sketch approximates, exact at this tier."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.countDistinct("text").alias("distinct_texts"),
+        F.count("*").alias("n_docs"),
+    )
 
 
 def _q_embedding_topk_lsh(spark, sf_dir):
@@ -211,23 +274,65 @@ def _corpus_result(spark, sf_dir):
     return corpus, run_pipeline_cached(spark, corpus, FROZEN, f"corpus:{sf_dir}")
 
 
-def _q_corpus_dup_pairs(spark, sf_dir):
-    from datasketches_java_spark.plans.pipeline import dup_pairs_caption
+def _rescored_corpus_pairs(spark, sf_dir):
+    from datasketches_java_spark.operators.rescore import exact_rescore_pairs
 
-    _, res = _corpus_result(spark, sf_dir)
-    return dup_pairs_caption(res.verified)
+    corpus, res = _corpus_result(spark, sf_dir)
+    return corpus, res, exact_rescore_pairs(
+        res.verified, corpus, "image_id", "caption",
+        FROZEN.shingle_k, FROZEN.jaccard_golden, normalize=True,
+    )
+
+
+def _q_corpus_dup_pairs(spark, sf_dir):
+    """Full pipeline (LSH candidates → multi-channel verify) followed
+    by exact rescoring: the emitted pair set is the exact
+    char-5-shingle Jaccard >= 0.8 relation — identical to the golden
+    oracle iff the pipeline's recall is 1.0 (it is, at this tier)."""
+    _, _, resc = _rescored_corpus_pairs(spark, sf_dir)
+    return resc.select("id_a", "id_b", "jaccard_exact")
 
 
 def _q_corpus_clusters(spark, sf_dir):
+    """Connected components over the exact-confirmed caption edges —
+    the high-precision text-dedup clustering (golden convention:
+    cluster_id = min member image_id; singletons included)."""
+    from datasketches_java_spark.operators.cluster import connected_components
+
+    corpus, _, resc = _rescored_corpus_pairs(spark, sf_dir)
+    return connected_components(
+        resc.select("id_a", "id_b"), corpus.select("image_id"),
+        id_col="image_id",
+    )
+
+
+def _q_corpus_clusters_multichannel(spark, sf_dir):
+    """The full pipeline's clusters (caption + SimHash + pHash channels
+    merged): strictly coarser than the caption-exact clustering, so no
+    SQL oracle — golden-cover invariants are pytest-gated."""
     _, res = _corpus_result(spark, sf_dir)
     return res.clusters.filter(F.col("cluster_size") > 1)
 
 
 def _q_corpus_cluster_audits(spark, sf_dir):
+    """Per-cluster audit table over the exact-confirmed clusters; the
+    gate compares the deterministic columns (counts, exact distincts,
+    exact interpolated percentiles). The sketch estimates this operator
+    also computes (KMV union, HLL) are pytest-audited against these
+    exact twins and the reference error tables (kernels/hll_bounds.py)."""
     from datasketches_java_spark.operators.audits import cluster_audits
+    from datasketches_java_spark.operators.cluster import connected_components
 
-    corpus, res = _corpus_result(spark, sf_dir)
-    return cluster_audits(spark, res.clusters, res.signatures, FROZEN, corpus)
+    corpus, res, resc = _rescored_corpus_pairs(spark, sf_dir)
+    clusters = connected_components(
+        resc.select("id_a", "id_b"), corpus.select("image_id"),
+        id_col="image_id",
+    )
+    audits = cluster_audits(spark, clusters, res.signatures, FROZEN, corpus)
+    return audits.select(
+        "cluster_id", "n_rows", "distinct_captions_exact",
+        "caption_len_p50", "caption_len_p99",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -244,20 +349,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _q_events_by_type,
         "frequent_tokens": _q_frequent_tokens,
         "psample_docs": _q_psample_docs,
-        # rows-only (non-SQL-expressible sketch/LSH ops)
         "minhash_dup_docs": _q_minhash_dup_docs,
         "kmv_distinct_by_source": _q_kmv_distinct_by_source,
-        "hll_users_by_type": _q_hll_users_by_type,
         "embedding_topk_cosine": _q_embedding_topk_cosine,
-        "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "bloom_customer_orders": _q_bloom_customer_orders,
+        "countmin_tokens": _q_countmin_tokens,
+        "fdt_lang_source": _q_fdt_lang_source,
         "corpus_dup_pairs": _q_corpus_dup_pairs,
         "corpus_clusters": _q_corpus_clusters,
         "corpus_cluster_audits": _q_corpus_cluster_audits,
+        # rows-only (non-SQL-expressible sketch/LSH ops; accuracy
+        # contracts pytest-gated — HLL vs reference error tables,
+        # LSH-ANN recall vs brute force, multi-channel cluster cover)
+        "hll_users_by_type": _q_hll_users_by_type,
+        "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "corpus_clusters_multichannel": _q_corpus_clusters_multichannel,
     }
 
 
+def _corpus_cache_dir() -> str:
+    """Corpus cache dir for the correctness-gate tier (sf=0.01 → 20k
+    rows) — the golden parquet the corpus oracles read."""
+    from datasketches_java_spark.corpus.loader import corpus_dir
+
+    return corpus_dir(20_000)
+
+
 def oracle_sql() -> dict[str, str]:
+    corpus_dir = _corpus_cache_dir()
+    golden_pairs = os.path.join(corpus_dir, "golden_pairs.parquet")
+    golden_clusters = os.path.join(corpus_dir, "golden_clusters.parquet")
+    corpus_pq = os.path.join(corpus_dir, "corpus.parquet")
     return {
+        "minhash_dup_docs": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct([substring(text, i, 5)
+                        for i in generate_series(1, greatest(length(text)-4, 1))])) AS sh
+              FROM documents
+            ), c AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS intersect_ct
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, intersect_ct,
+                   CAST(ca.n + cb.n - intersect_ct AS BIGINT) AS union_ct
+            FROM inter
+            JOIN c ca ON ca.id = id_a
+            JOIN c cb ON cb.id = id_b
+            WHERE 5 * intersect_ct >= 4 * (ca.n + cb.n - intersect_ct)
+        """,
+        "kmv_distinct_by_source": """
+            -- the KMV sketch is in exact mode at this tier (distinct
+            -- per source << k=4096): estimate == retained == exact
+            SELECT source,
+                   CAST(count(DISTINCT text) AS DOUBLE) AS distinct_est,
+                   CAST(count(DISTINCT text) AS DOUBLE) AS distinct_lb,
+                   CAST(count(DISTINCT text) AS DOUBLE) AS distinct_ub,
+                   CAST(count(DISTINCT text) AS BIGINT) AS retained
+            FROM documents GROUP BY source
+        """,
+        "embedding_topk_cosine": """
+            WITH v AS (
+              SELECT vec_id AS id,
+                     [CAST(x AS DOUBLE) for x in embedding] AS d
+              FROM embeddings
+            ), scored AS (
+              SELECT a.id AS vec_id, b.id AS neighbor_id,
+                     CAST(round(1e9 *
+                       list_reduce([a.d[i] * b.d[i]
+                           for i in generate_series(1, len(a.d))], (x, y) -> x + y)
+                       / (sqrt(list_reduce([x * x for x in a.d], (x, y) -> x + y))
+                        * sqrt(list_reduce([x * x for x in b.d], (x, y) -> x + y)))
+                     ) AS BIGINT) AS cos_q
+              FROM v a, v b WHERE a.id != b.id
+            )
+            SELECT vec_id, neighbor_id, cos_q,
+                   CAST(row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos_q DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "bloom_customer_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "countmin_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS cm_count
+            FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token
+        """,
+        "fdt_lang_source": """
+            SELECT lang, source,
+                   CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang, source
+        """,
+        "corpus_dup_pairs": f"""
+            SELECT id_a, id_b, jaccard_exact
+            FROM read_parquet('{golden_pairs}')
+        """,
+        "corpus_clusters": f"""
+            SELECT image_id, cluster_id, CAST(cluster_size AS INT) AS cluster_size
+            FROM read_parquet('{golden_clusters}')
+        """,
+        "corpus_cluster_audits": f"""
+            WITH g AS (
+              SELECT image_id, cluster_id
+              FROM read_parquet('{golden_clusters}') WHERE cluster_size >= 2
+            ), j AS (
+              SELECT g.cluster_id, c.caption
+              FROM g JOIN read_parquet('{corpus_pq}') c USING (image_id)
+            )
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT caption) AS BIGINT) AS distinct_captions_exact,
+                   CAST(floor(quantile_cont(CAST(length(caption) AS DOUBLE), 0.5)) AS INT) AS caption_len_p50,
+                   CAST(floor(quantile_cont(CAST(length(caption) AS DOUBLE), 0.99)) AS INT) AS caption_len_p99
+            FROM j GROUP BY cluster_id
+        """,
         "exact_dedup_groups": """
             SELECT min(doc_id) AS canonical_id,
                    CAST(count(*) AS BIGINT) AS dup_count,

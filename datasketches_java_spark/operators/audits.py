@@ -76,14 +76,19 @@ def cluster_audits(
             F.hll_sketch_estimate(F.hll_sketch_agg("caption", F.lit(12))).alias(
                 "distinct_captions_hll"
             ),
-            F.expr(
-                "approx_percentile(length(caption), array(0.5, 0.99))"
-            ).alias("_q"),
+            # the exact twin every estimate column is audited against
+            # (clusters are small; at web scale this column is dropped
+            # and the HLL/KMV estimates carry the audit)
+            F.countDistinct("caption").alias("distinct_captions_exact"),
+            # exact interpolated percentiles (floor → deterministic int;
+            # matches DuckDB quantile_cont + floor in the gate oracle)
+            F.expr("percentile(length(caption), array(0.5, 0.99))").alias("_q"),
         ).select(
             "cluster_id",
             "distinct_captions_hll",
-            F.col("_q")[0].cast("int").alias("caption_len_p50"),
-            F.col("_q")[1].cast("int").alias("caption_len_p99"),
+            "distinct_captions_exact",
+            F.floor(F.col("_q")[0]).cast("int").alias("caption_len_p50"),
+            F.floor(F.col("_q")[1]).cast("int").alias("caption_len_p99"),
         )
         out = out.join(hll, "cluster_id")
     return out

@@ -103,6 +103,37 @@ def brute_force_topk_cosine(
     )
 
 
+def brute_force_topk_cosine_q(
+    df: DataFrame, id_col: str, vec_col: str, topk: int = 5
+) -> DataFrame:
+    """Oracle-exact cosine top-k: the score is round(cosine·1e9) as a
+    bigint. dot and norms are LEFT FOLDS over the components
+    (F.aggregate), so an engine that folds in the same order (DuckDB
+    list_reduce) reproduces the double bit-for-bit; quantizing to 1e-9
+    absorbs any residual last-ulp daylight, and ties break on
+    neighbor_id. Same crossJoin-exact-baseline role as
+    brute_force_topk_ip."""
+    a = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("va"), F.col("vb")) * 1e9).cast("bigint").alias("cos_q"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("vec_id", "neighbor_id", "cos_q", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def srp_bucket(vec, n_planes: int = 16, seed: int = 9001):
     """Sign-random-projection bucket id via per-component hashed signs:
     bit_j = sign(sum_i h(i,j)·v_i) with h(i,j) = xxhash64(i,j,seed)
