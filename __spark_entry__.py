@@ -368,11 +368,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _corpus_cache_dir() -> str:
-    """Corpus cache dir for the correctness-gate tier (sf=0.01 → 20k
-    rows) — the golden parquet the corpus oracles read."""
+    """Corpus cache dir whose golden parquet the corpus oracles read.
+    Defaults to the driver's correctness-gate tier (sf=0.01 → 20k
+    rows); SPARK_GRAFT_ORACLE_ROWS overrides for local test mimics
+    that gate at another tier."""
     from datasketches_java_spark.corpus.loader import corpus_dir
 
-    return corpus_dir(20_000)
+    return corpus_dir(int(os.environ.get("SPARK_GRAFT_ORACLE_ROWS", "20000")))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -16,12 +16,18 @@ from tools.check_correctness import TABLES, compare  # noqa: E402
 
 @pytest.fixture(scope="module")
 def duck(smoke_sf_dir):
+    # corpus oracles must read the golden parquet of the tier the
+    # queries run at (driver gates at 20k; this mimic at the smoke tier)
+    from datasketches_java_spark.corpus.loader import rows_for_sf_dir
+
+    os.environ["SPARK_GRAFT_ORACLE_ROWS"] = str(rows_for_sf_dir(smoke_sf_dir))
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(smoke_sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    return con
+    yield con
+    os.environ.pop("SPARK_GRAFT_ORACLE_ROWS", None)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
