@@ -85,6 +85,20 @@ def _stage(
     return df
 
 
+def _corpus_fingerprint(corpus: DataFrame) -> str:
+    """Corpus identity for checkpoint keying: source files (when the
+    plan reads files) + the canonicalized-plan hash (covers filters,
+    limits, in-memory frames)."""
+    import hashlib
+
+    try:
+        files = sorted(corpus.inputFiles())
+    except Exception:
+        files = []
+    basis = "|".join(files) + f"#%{corpus.semanticHash()}"
+    return hashlib.sha256(basis.encode()).hexdigest()[:10]
+
+
 def _remap_pairs(pairs64: DataFrame, idmap: DataFrame) -> DataFrame:
     """int64 pairs → string pairs with id_a < id_b (golden convention).
     All score columns are symmetric, so the swap is value-preserving."""
@@ -108,7 +122,12 @@ def run_pipeline(
 ) -> PipelineResult:
     metrics: dict = {"config_hash": cfg.config_hash()}
     if checkpoint_root is not None:
-        checkpoint_root = os.path.join(checkpoint_root, cfg.config_hash())
+        # key checkpoints by (config, corpus identity): resuming a
+        # different corpus from the same root must never serve stale
+        # stage outputs
+        checkpoint_root = os.path.join(
+            checkpoint_root, f"{cfg.config_hash()}_{_corpus_fingerprint(corpus)}"
+        )
 
     signatures = _stage(
         spark, checkpoint_root, "signatures",
