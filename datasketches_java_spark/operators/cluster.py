@@ -10,19 +10,37 @@ half the joins per round. The LSH stage emits hot groups as min-member
 STARS (operators/lsh.py), so the dup graph's diameter is small by
 construction and the loop usually converges in 2-3 rounds.
 
-Each iteration `localCheckpoint`s the label table to truncate lineage
-(at production scale: write the label table to Iceberg and read it
-back — same call site, sources/tables.write_checkpoint). The loop runs
-at its own shuffle parallelism, derived from the edge count, so each
-O(log n) round costs a handful of tasks instead of
+Each iteration checkpoints the label table to parquet and reads it
+back (at production scale: an Iceberg state table — same call site).
+Parquet, NOT `localCheckpoint`: Spark 4's LogicalRDD preserves the
+origin plan for stats estimation, so chained localCheckpoints build a
+per-round-deepening join nest inside stats; SizeInBytesOnlyStatsPlan-
+Visitor multiplies sizeInBytes across joins (repeated squaring), and
+by ~10 rounds the BigInteger products reach 10^8 digits — one planning
+pass then burns CPU-minutes in BigInteger.multiply. A parquet
+round-trip severs the stats chain for good. The loop runs at its own
+shuffle parallelism, derived from the edge count, so each O(log n)
+round costs a handful of tasks instead of
 spark.sql.shuffle.partitions tasks per join.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pq_checkpoint(df: DataFrame, root: str, name: str) -> DataFrame:
+    """Materialize to parquet and read back — a plan-and-stats barrier
+    (Iceberg state-table write at production scale)."""
+    path = os.path.join(root, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def connected_components(
@@ -50,29 +68,28 @@ def connected_components(
     # fraction of a web corpus (no hardcoded cap)
     n_parts = int(np.clip(2 * n_edges / 500_000, 4, 4 * par))
 
+    state_root = tempfile.mkdtemp(prefix="cc_state_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
-        sym = (
+        sym = _pq_checkpoint(
             edges.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
             .unionByName(
                 edges.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
             )
-            .repartition(n_parts, "x")
-            .localCheckpoint()
+            .repartition(n_parts, "x"),
+            state_root, "sym",
         )
 
         # round-0 fused into initialization: label(x) = min(x, min
-        # neighbor) in the same shuffle that builds the label table.
-        # alias() forces fresh exprIds so joining labels back to sym is
-        # not flagged as an ambiguous self-join
-        labels = (
+        # neighbor) in the same shuffle that builds the label table
+        labels = _pq_checkpoint(
             sym.groupBy("x")
-            .agg(F.least(F.first("x"), F.min("y")).alias("label"))
-            .select(F.col("x").alias("x"), F.col("label").alias("label"))
-            .localCheckpoint()
+            .agg(F.least(F.first("x"), F.min("y")).alias("label")),
+            state_root, "labels_0",
         )
 
+        rounds_done = 0
         for _ in range(max_iter):
             # neighbor-min: smallest label among my neighbors
             neigh = (
@@ -93,15 +110,16 @@ def connected_components(
             l2 = new_labels.select(
                 F.col("x").alias("lx"), F.col("label").alias("llabel")
             )
-            jumped = (
+            rounds_done += 1
+            jumped = _pq_checkpoint(
                 new_labels.join(l2, new_labels["label"] == l2["lx"], "left")
                 .select(
                     "x",
                     F.least(
                         F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
                     ).alias("label"),
-                )
-                .localCheckpoint()
+                ),
+                state_root, f"labels_{rounds_done}",
             )
             changed = (
                 jumped.alias("n")
@@ -110,6 +128,9 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            # previous round's state is no longer referenced by any plan
+            prev = os.path.join(state_root, f"labels_{rounds_done - 1}")
+            shutil.rmtree(prev, ignore_errors=True)
             labels = jumped
             if changed == 0:
                 break

@@ -26,20 +26,42 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    executors: int | None = None,
+    executor_mem_mb: int = 12288,
 ) -> SparkSession:
+    """local[cores] session, or — when `executors` is given — a
+    local-cluster[executors, cores, executor_mem_mb] session: real
+    multi-process executors on one machine, the faithful simulation of
+    scaling a cluster from N to 4N executors (each executor is its own
+    JVM with its own memory pools and Python worker pool, exactly like
+    production; a single local[] JVM serializes all executor threads
+    behind one process's memory-management path)."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    total_cores = cores * executors if executors else cores
     if shuffle_partitions is None:
         # one shuffle partition per core: at local scale, extra
         # partitions only add scheduling + shuffle-file overhead (AQE
         # splits skewed partitions when it matters); on a real cluster
         # this is set to 2-3x total cores
-        shuffle_partitions = cores
+        shuffle_partitions = total_cores
+    if executors:
+        master = f"local-cluster[{executors},{cores},{executor_mem_mb}]"
+    else:
+        master = f"local[{cores}]"
     b = (
         SparkSession.builder.appName(app)
-        .master(f"local[{cores}]")
+        .master(master)
+        .config("spark.executor.memory", f"{executor_mem_mb}m")
+        # executor processes (local-cluster) spawn their own Python
+        # workers: ship the repo on PYTHONPATH (spark-submit --py-files
+        # equivalent) and the malloc policy this sandbox needs
+        .config("spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483648")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "2147483648")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(cores))
+        .config("spark.default.parallelism", str(total_cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

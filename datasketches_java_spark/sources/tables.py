@@ -32,6 +32,11 @@ def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(d, "corpus.parquet"))
 
 
+def load_corpus_dir(spark: SparkSession, corpus_cache_dir: str) -> DataFrame:
+    """Corpus from an explicit cache dir (bench scaling tiers)."""
+    return spark.read.parquet(os.path.join(corpus_cache_dir, "corpus.parquet"))
+
+
 def load_golden(spark: SparkSession, sf_dir: str, which: str = "golden_pairs") -> DataFrame:
     from ..corpus.loader import corpus_dir_for_sf
 
