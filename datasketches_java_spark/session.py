@@ -63,6 +63,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(total_cores))
         .config("spark.sql.adaptive.enabled", "true")
+        # shuffled hash join over sort-merge: the pipeline's joins have
+        # bounded per-partition build sides (fixed-width sketch rows),
+        # and SMJ's big sorts measured 2-4x slower with high variance
+        # under this sandbox's memory-write throughput; AQE still
+        # overrides per-join when sizes say otherwise
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
