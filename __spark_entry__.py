@@ -306,6 +306,24 @@ def _q_corpus_clusters(spark, sf_dir):
     )
 
 
+def _q_varopt_cluster_sample(spark, sf_dir):
+    """VarOpt weighted QA sample (reference S2,
+    sampling/VarOptItemsSketch.java via kernels/varopt.py): sample
+    clusters proportional to size; heavy clusters kept exactly —
+    the 'which duplicates should a human look at' operator."""
+    from datasketches_java_spark.functions.sketch_udfs import varopt_sample_agg
+
+    _, res = _corpus_result(spark, sf_dir)
+    clusters = (
+        res.clusters.filter(F.col("cluster_size") > 1)
+        .select("cluster_id", "cluster_size").distinct()
+        .withColumn("bucket", F.lit("all"))
+    )
+    return varopt_sample_agg(
+        clusters, "bucket", "cluster_id", "cluster_size", k=64
+    )
+
+
 def _q_corpus_clusters_multichannel(spark, sf_dir):
     """The full pipeline's clusters (caption + SimHash + pHash channels
     merged): strictly coarser than the caption-exact clustering, so no
@@ -364,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "corpus_clusters_multichannel": _q_corpus_clusters_multichannel,
+        "varopt_cluster_sample": _q_varopt_cluster_sample,
     }
 
 

@@ -117,3 +117,41 @@ def kmv_merge_sketches(sketches: list[bytes]) -> tuple[float, float, float]:
         return 0.0, 0.0, 0.0
     u = kmv.union_many(sigs, k)
     return kmv.estimate_bounds(u, k, 2)
+
+
+def varopt_sample_agg(
+    df: DataFrame, group_col: str, item_col: str, weight_col: str,
+    k: int = 64, seed: int = DEFAULT_UPDATE_SEED,
+) -> DataFrame:
+    """Per-group VarOpt weighted sample (kernels/varopt.py; reference
+    sampling/VarOptItemsSketch.java): k items per group, heavy items
+    exact, light items at the threshold weight — the 'QA-sample the
+    biggest clusters proportional to size' operator. Deterministic
+    given (group, seed) under task retry."""
+    import numpy as np
+
+    from ..kernels.varopt import varopt_sample
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical order first: shuffle row order must not change the
+        # sample under task retry (deterministic-randomness rule,
+        # SURVEY.md §4 custom work #3)
+        pdf = pdf.sort_values(item_col, kind="mergesort")
+        items = pdf[item_col].astype(str).to_numpy()
+        w = pdf[weight_col].to_numpy(np.float64)
+        ih = _hash_strings(pd.Series(items), seed).astype(np.uint64)
+        s_idx, adj = varopt_sample(np.arange(len(items)), w, k,
+                                   seed=seed ^ (int(ih[0]) & 0x7FFFFFFF) if len(ih) else seed)
+        return pd.DataFrame(
+            {
+                group_col: [key[0]] * len(s_idx),
+                item_col: items[s_idx],
+                "adj_weight": adj,
+            }
+        )
+
+    return (
+        df.select(group_col, item_col, weight_col)
+        .groupBy(group_col)
+        .applyInPandas(agg, f"{group_col} string, {item_col} string, adj_weight double")
+    )
