@@ -143,6 +143,43 @@ def _q_frequent_tokens(spark, sf_dir):
     )
 
 
+def _q_mg_frequent_tokens(spark, sf_dir):
+    """Distributed Misra-Gries heavy hitters over document tokens
+    (reference F1, frequencies/FrequentItemsSketch.java merge :467):
+    partial MG map per partition, merged final purge. Gate dims put the
+    sketch in its exact regime (M exceeds the distinct-token count, so
+    no purge ever fires and counts are exact — the same collision-free
+    trick the Count-Min gate uses); the lossy-regime NFN/NFP guarantees
+    are pytest-gated in tests/test_dist_aggs.py."""
+    from datasketches_java_spark.functions.freq_agg import mg_frequent_items_agg
+    from datasketches_java_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    return mg_frequent_items_agg(
+        toks, "token", max_map_size=1 << 16, threshold=50
+    ).select(F.col("item").alias("token"), F.col("est").alias("cnt"))
+
+
+def _q_kll_caption_len_by_source(spark, sf_dir):
+    """Per-source text-length quantiles through the KLL sketch UDAF
+    (reference K1-K4, kll/KllDoublesSketch.java merge :275): partial
+    sketch per (batch, group), merged final, discrete inclusive
+    quantiles at integer rank fractions. Exact at this tier (group
+    n <= k=200 ⇒ no compaction); the lossy-regime rank-error contract
+    2.446/k^0.9433 is pytest-gated in tests/test_dist_aggs.py."""
+    from datasketches_java_spark.functions.kll_agg import kll_quantile_agg
+
+    return kll_quantile_agg(
+        _docs(spark, sf_dir).select("source", F.length("text").alias("len")),
+        "source", "len", quantiles=((1, 2), (99, 100)),
+    ).select(
+        "source", "n",
+        F.col("q_1_2").cast("bigint").alias("len_p50"),
+        F.col("q_99_100").cast("bigint").alias("len_p99"),
+    )
+
+
 def _q_psample_docs(spark, sf_dir):
     """Deterministic p-sampling front-end (reference T9: initial θ =
     p·2^63 — here a hash-threshold filter, the relational equivalent)."""
@@ -335,7 +372,7 @@ def _q_corpus_clusters_multichannel(spark, sf_dir):
 def _q_corpus_cluster_audits(spark, sf_dir):
     """Per-cluster audit table over the exact-confirmed clusters; the
     gate compares the deterministic columns (counts, exact distincts,
-    exact interpolated percentiles). The sketch estimates this operator
+    KLL discrete quantiles in their exact regime). The sketch estimates this operator
     also computes (KMV union, HLL) are pytest-audited against these
     exact twins and the reference error tables (kernels/hll_bounds.py)."""
     from datasketches_java_spark.operators.audits import cluster_audits
@@ -366,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "events_by_type": _q_events_by_type,
         "frequent_tokens": _q_frequent_tokens,
+        "mg_frequent_tokens": _q_mg_frequent_tokens,
+        "kll_caption_len_by_source": _q_kll_caption_len_by_source,
         "psample_docs": _q_psample_docs,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "kmv_distinct_by_source": _q_kmv_distinct_by_source,
@@ -477,19 +516,37 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{golden_clusters}')
         """,
         "corpus_cluster_audits": f"""
+            -- discrete inclusive quantiles with integer rank fractions:
+            -- min v with q*(#items <= v) >= p*n — the KLL sketch's exact
+            -- regime answer (functions/kll_agg.py), integer math on both
+            -- sides so no float-rank divergence
             WITH g AS (
               SELECT image_id, cluster_id
               FROM read_parquet('{golden_clusters}') WHERE cluster_size >= 2
             ), j AS (
               SELECT g.cluster_id, c.caption
               FROM g JOIN read_parquet('{corpus_pq}') c USING (image_id)
+            ), w AS (
+              SELECT cluster_id,
+                     CAST(length(caption) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY length(caption)) AS cum,
+                     count(*) OVER (PARTITION BY cluster_id) AS n
+              FROM j
+            ), q AS (
+              SELECT cluster_id,
+                     CAST(min(v) FILTER (WHERE 2*cum >= n) AS INT) AS caption_len_p50,
+                     CAST(min(v) FILTER (WHERE 100*cum >= 99*n) AS INT) AS caption_len_p99
+              FROM w GROUP BY cluster_id
+            ), c AS (
+              SELECT cluster_id,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT caption) AS BIGINT) AS distinct_captions_exact
+              FROM j GROUP BY cluster_id
             )
-            SELECT cluster_id,
-                   CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(count(DISTINCT caption) AS BIGINT) AS distinct_captions_exact,
-                   CAST(floor(quantile_cont(CAST(length(caption) AS DOUBLE), 0.5)) AS INT) AS caption_len_p50,
-                   CAST(floor(quantile_cont(CAST(length(caption) AS DOUBLE), 0.99)) AS INT) AS caption_len_p99
-            FROM j GROUP BY cluster_id
+            SELECT c.cluster_id, c.n_rows, c.distinct_captions_exact,
+                   q.caption_len_p50, q.caption_len_p99
+            FROM c JOIN q USING (cluster_id)
         """,
         "exact_dedup_groups": """
             SELECT min(doc_id) AS canonical_id,
@@ -610,5 +667,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc
             FROM documents
             WHERE substring(md5(text), 1, 2) < '14'
+        """,
+        "mg_frequent_tokens": """
+            -- MG exact regime: M > distinct tokens ⇒ estimates == counts
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token
+            HAVING count(*) >= 50
+        """,
+        "kll_caption_len_by_source": """
+            -- discrete inclusive quantile, integer rank fractions:
+            -- min v with q*(#items <= v) >= p*n (KLL exact regime)
+            WITH w AS (
+              SELECT source,
+                     CAST(length(text) AS DOUBLE) AS v,
+                     row_number() OVER (PARTITION BY source
+                          ORDER BY length(text)) AS cum,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT source,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(v) FILTER (WHERE 2*cum >= n) AS BIGINT) AS len_p50,
+                   CAST(min(v) FILTER (WHERE 100*cum >= 99*n) AS BIGINT) AS len_p99
+            FROM w GROUP BY source
         """,
     }

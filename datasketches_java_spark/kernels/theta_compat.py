@@ -1,0 +1,153 @@
+"""Reference-compatible Theta sketch wire format (serial version 3,
+compact ordered form) — the DataSketches ecosystem's interop surface.
+
+Layout per the reference's preamble documentation
+(theta/PreambleUtil.java:58-125; writer
+theta/CompactOperations.java:218-266):
+
+  byte 0      preamble longs (1 empty/single, 2 exact, 3 estimating)
+  byte 1      serial version = 3
+  byte 2      family id = 3 (COMPACT, common/Family.java:53-165)
+  bytes 3-4   lgNomLongs/lgArrLongs — 0 for compact
+  byte 5      flags: 2 READ_ONLY | 4 EMPTY | 8 COMPACT | 16 ORDERED |
+              32 SINGLEITEM (theta/PreambleUtil.java:207-212)
+  bytes 6-7   16-bit seed hash (common/Util.java:967 computeSeedHash)
+  [preLongs>1] bytes 8-11 retained count, bytes 12-15 p = 0.0f
+  [preLongs>2] bytes 16-23 thetaLong
+  then the ordered long[] of retained hashes.
+
+Hash lane: every key hashes through MurmurHash3 x64-128 with the
+library seed (default 9001), keeping hash[0] >>> 1 — the exact stream
+of UpdatableThetaSketch.update(long) (theta/UpdatableThetaSketch.java:258).
+Exact-mode images we produce (n <= k, thetaLong = 2^63-1) are
+byte-identical to Java's `sk.compact().toByteArray()` for the same
+input set; estimating-mode images are *valid* v3 sketches (bottom-k
+retained set with theta = the (k+1)-th smallest hash — the state of a
+freshly-rebuilt quickselect sketch) whose estimates agree within the
+binomial bounds, though the retained count may differ from a Java
+sketch's un-rebuilt 'lazy' state. The deserializer accepts any v3
+compact image (empty / single-item / exact / estimating), so sketches
+produced by Java/C++/Druid/Hive round into our kernels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .mmh3 import compute_seed_hash, mmh3_128, mmh3_128_longs
+
+SER_VER = 3
+FAMILY_COMPACT = 3
+FLAG_READ_ONLY = 2
+FLAG_EMPTY = 4
+FLAG_COMPACT = 8
+FLAG_ORDERED = 16
+FLAG_SINGLEITEM = 32
+
+LONG_MAX = (1 << 63) - 1  # thetaLong in exact mode
+DEFAULT_SEED = 9001  # common/Util.java:99
+
+
+def hash_longs(keys: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Java's update(long) hash stream: mmh3(key, seed)[0] >>> 1,
+    zero excluded (the sketch never stores hash 0)."""
+    h1, _ = mmh3_128_longs(np.asarray(keys, dtype=np.int64), seed)
+    h = (h1 >> np.uint64(1)).astype(np.int64)
+    return h[h != 0]
+
+
+def hash_bytes_items(items: list[bytes], seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Java's update(byte[])/update(String→UTF-8) stream (scalar loop —
+    interop/test path, not the pipeline's hot lane)."""
+    out = np.empty(len(items), dtype=np.int64)
+    for i, b in enumerate(items):
+        h1, _ = mmh3_128(b, seed)
+        out[i] = np.int64(np.uint64(h1) >> np.uint64(1))
+    return out[out != 0]
+
+
+def build_theta(keys_hashed: np.ndarray, k: int = 4096) -> tuple[np.ndarray, int]:
+    """Distinct hash stream → (ordered retained hashes, thetaLong):
+    exact when distinct <= k, else bottom-k with theta = (k+1)-th
+    smallest (the freshly-rebuilt quickselect state,
+    theta/HeapQuickSelectSketch.java:294-306)."""
+    u = np.unique(keys_hashed)  # sorted distinct
+    if len(u) <= k:
+        return u, LONG_MAX
+    return u[:k], int(u[k])
+
+
+def estimate(n_retained: int, theta_long: int) -> float:
+    """curCount / (thetaLong / LONG_MAX) (theta/ThetaSketch.java:621-623)."""
+    return n_retained * (float(LONG_MAX) / float(theta_long))
+
+
+def serialize_compact(
+    hashes: np.ndarray,
+    theta_long: int = LONG_MAX,
+    empty: bool | None = None,
+    seed: int = DEFAULT_SEED,
+) -> bytes:
+    """(ordered hashes, thetaLong) → v3 compact ordered byte image."""
+    h = np.asarray(hashes, dtype="<i8")
+    n = len(h)
+    if empty is None:
+        empty = n == 0 and theta_long == LONG_MAX
+    seed_hash = compute_seed_hash(seed)
+
+    if empty:
+        flags = FLAG_READ_ONLY | FLAG_COMPACT | FLAG_ORDERED | FLAG_EMPTY
+        return struct.pack(
+            "<BBBBBBH", 1, SER_VER, FAMILY_COMPACT, 0, 0, flags, seed_hash
+        )
+    if n == 1 and theta_long == LONG_MAX:
+        flags = FLAG_READ_ONLY | FLAG_COMPACT | FLAG_ORDERED | FLAG_SINGLEITEM
+        return (
+            struct.pack("<BBBBBBH", 1, SER_VER, FAMILY_COMPACT, 0, 0, flags, seed_hash)
+            + h.tobytes()
+        )
+    flags = FLAG_READ_ONLY | FLAG_COMPACT | FLAG_ORDERED
+    pre_longs = 2 if theta_long == LONG_MAX else 3
+    head = struct.pack(
+        "<BBBBBBH", pre_longs, SER_VER, FAMILY_COMPACT, 0, 0, flags, seed_hash
+    )
+    head += struct.pack("<if", n, 0.0)  # retained count, p (0.0 per C++)
+    if pre_longs == 3:
+        head += struct.pack("<q", theta_long)
+    return head + h.tobytes()
+
+
+def deserialize_compact(
+    buf: bytes, seed: int = DEFAULT_SEED, check_seed: bool = True
+) -> tuple[np.ndarray, int, bool]:
+    """v3 compact image → (ordered hashes, thetaLong, empty). Accepts
+    every v3 form: empty, single-item, exact, estimating — including
+    images produced by other DataSketches implementations."""
+    if len(buf) < 8:
+        raise ValueError("truncated theta image")
+    pre_longs, ser_ver, fam, _, _, flags, seed_hash = struct.unpack_from(
+        "<BBBBBBH", buf, 0
+    )
+    pre_longs &= 0x3F  # upper 2 bits are the resize factor (update forms)
+    if ser_ver != SER_VER:
+        raise ValueError(f"unsupported theta serial version {ser_ver}")
+    if fam != FAMILY_COMPACT:
+        raise ValueError(f"not a compact theta image (family {fam})")
+    if check_seed and seed_hash != compute_seed_hash(seed):
+        raise ValueError("seed hash mismatch")
+    if flags & FLAG_EMPTY:
+        return np.empty(0, np.int64), LONG_MAX, True
+    if pre_longs == 1:  # single item
+        (h,) = struct.unpack_from("<q", buf, 8)
+        return np.array([h], dtype=np.int64), LONG_MAX, False
+    (n,) = struct.unpack_from("<i", buf, 8)
+    if pre_longs == 2:
+        theta_long = LONG_MAX
+        off = 16
+    else:
+        (theta_long,) = struct.unpack_from("<q", buf, 16)
+        off = 24
+    h = np.frombuffer(buf, dtype="<i8", count=n, offset=off).astype(np.int64)
+    return h, int(theta_long), False

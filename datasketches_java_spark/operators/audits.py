@@ -5,14 +5,21 @@
    hll_sketch_estimate (the same Apache DataSketches HLL algorithm the
    reference implements in hll/HllSketch.java — we delegate, SURVEY §2a H1-H3)
  - distinct shingles per cluster: our KMV union (theta/ThetaUnionImpl
-   semantics) merged in applyInPandas — demonstrates the mergeable
-   reduce over serialized signatures
- - caption-length quantiles: approx_percentile, emitted as SCALAR p50 /
-   p99 columns (audit-grade; the reference-exact KLL kernel lives in
-   kernels.kll for unit audits)
+   semantics) as a TWO-LEVEL partial/final aggregation — each Arrow
+   batch collapses its clusters to one serialized sketch (map-side
+   combine), the grouped final stage unions sketches; per-task state is
+   O(k) per cluster no matter how large the cluster
+   (sampling/VarOptItemsUnion.java:205 and ThetaUnionImpl.java:272-303
+   are the reference precedents for this split)
+ - caption-length quantiles: the KLL sketch UDAF (kernels/kll.py via
+   functions/kll_agg.py), discrete inclusive quantiles with integer
+   rank fractions — exact when cluster size <= k (the gate regime),
+   rank-error-bounded 2.446/k^0.9433 beyond (kll/KllHelper.java:295-299)
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -48,29 +55,49 @@ def cluster_audits(
     members = clusters.filter(F.col("cluster_size") >= min_size).select(
         "image_id", F.xxhash64("image_id").alias("id64"), "cluster_id"
     )
-    sig = signatures.select("id64", "sig", "simhash")
-    joined = members.join(sig, "id64")
+    sig = signatures.select("id64", "sig")
+    joined = members.join(sig, "id64").select("cluster_id", "sig")
 
-    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # sig wire format: little-endian int32 bytes
-        sigs = [np.frombuffer(s, dtype="<i4") for s in pdf["sig"]]
-        n = len(pdf)
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_c, out_n, out_s = [], [], []
+            for cid, sub in pdf.groupby("cluster_id", sort=False):
+                # sig wire format: little-endian int32 bytes
+                sigs = [np.frombuffer(s, dtype="<i4") for s in sub["sig"]]
+                u = kmv.union_many(sigs, k)
+                out_c.append(cid)
+                out_n.append(len(sub))
+                out_s.append(kmv.serialize(u, k))
+            yield pd.DataFrame(
+                {"cluster_id": out_c, "n_rows": out_n, "sketch": out_s}
+            )
+
+    partials = joined.mapInPandas(
+        partial, "cluster_id string, n_rows bigint, sketch binary"
+    )
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sigs = [kmv.deserialize(b)[0] for b in pdf["sketch"]]
         u = kmv.union_many(sigs, k)
         lb, est, ub = kmv.estimate_bounds(u, k, 2, hash_space=_HASH_SPACE_32)
         return pd.DataFrame(
             {
                 "cluster_id": [key[0]],
-                "n_rows": [n],
+                "n_rows": [int(pdf["n_rows"].sum())],
                 "kmv_union_est": [est],
                 "kmv_union_lb": [lb],
                 "kmv_union_ub": [ub],
             }
         )
 
-    kmv_part = joined.groupBy("cluster_id").applyInPandas(agg, AUDIT_SCHEMA)
+    kmv_part = partials.groupBy("cluster_id").applyInPandas(final, AUDIT_SCHEMA)
 
     out = kmv_part
     if corpus is not None:
+        from ..functions.kll_agg import kll_quantile_agg
+
         caps = members.join(corpus.select("image_id", "caption"), "image_id")
         hll = caps.groupBy("cluster_id").agg(
             F.hll_sketch_estimate(F.hll_sketch_agg("caption", F.lit(12))).alias(
@@ -80,15 +107,14 @@ def cluster_audits(
             # (clusters are small; at web scale this column is dropped
             # and the HLL/KMV estimates carry the audit)
             F.countDistinct("caption").alias("distinct_captions_exact"),
-            # exact interpolated percentiles (floor → deterministic int;
-            # matches DuckDB quantile_cont + floor in the gate oracle)
-            F.expr("percentile(length(caption), array(0.5, 0.99))").alias("_q"),
+        )
+        kll = kll_quantile_agg(
+            caps.select("cluster_id", F.length("caption").alias("cap_len")),
+            "cluster_id", "cap_len", quantiles=((1, 2), (99, 100)),
         ).select(
             "cluster_id",
-            "distinct_captions_hll",
-            "distinct_captions_exact",
-            F.floor(F.col("_q")[0]).cast("int").alias("caption_len_p50"),
-            F.floor(F.col("_q")[1]).cast("int").alias("caption_len_p99"),
+            F.col("q_1_2").cast("int").alias("caption_len_p50"),
+            F.col("q_99_100").cast("int").alias("caption_len_p99"),
         )
-        out = out.join(hll, "cluster_id")
+        out = out.join(hll, "cluster_id").join(kll, "cluster_id")
     return out

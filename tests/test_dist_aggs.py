@@ -1,0 +1,117 @@
+"""Distributed MG frequent-items + KLL quantile aggregations.
+
+Mirrors the reference's contracts: MG error ≤ accumulated purge offset
+with NO_FALSE_NEGATIVES semantics (frequencies/FrequentItemsSketch.java:385-398,
+merge :467), KLL normalized rank error 2.446/k^0.9433
+(kll/KllHelper.java:295-299) surviving the partial/final merge tree."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_java_spark.functions.freq_agg import (
+    NO_FALSE_POSITIVES,
+    mg_frequent_items_agg,
+)
+from datasketches_java_spark.functions.kll_agg import kll_quantile_agg
+
+
+def _token_df(spark, n=20_000, seed=7):
+    rng = np.random.default_rng(seed)
+    # zipf-ish: heavy head + long tail
+    heavy = rng.choice([f"hot{i}" for i in range(20)], size=n // 2)
+    tail = rng.integers(0, n, size=n - n // 2).astype(str)
+    pdf = pd.DataFrame({"token": np.concatenate([heavy, tail])})
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def test_mg_exact_regime_matches_groupby(spark):
+    df, pdf = _token_df(spark)
+    out = (
+        mg_frequent_items_agg(df, "token", max_map_size=1 << 16, threshold=100)
+        .toPandas()
+        .sort_values("item")
+        .reset_index(drop=True)
+    )
+    exact = pdf["token"].value_counts()
+    expect = exact[exact >= 100].sort_index()
+    assert list(out["item"]) == list(expect.index)
+    assert list(out["est"]) == list(expect.values)
+    assert (out["lb"] == out["ub"]).all()  # no purge → zero error
+
+
+def test_mg_lossy_regime_no_false_negatives_and_bound(spark):
+    df, pdf = _token_df(spark)
+    m = 64  # force purges
+    exact = pdf["token"].value_counts()
+    n = len(pdf)
+    thresh = int(n * 0.01)
+    out = mg_frequent_items_agg(df, "token", max_map_size=m, threshold=thresh).toPandas()
+    got = dict(zip(out["item"], zip(out["lb"], out["ub"])))
+    # every item with true count >= threshold must be reported (NFN)
+    for item, cnt in exact[exact >= thresh].items():
+        assert item in got, f"false negative: {item} ({cnt})"
+        lb, ub = got[item]
+        assert lb <= cnt <= ub, (item, cnt, lb, ub)
+
+
+def test_mg_no_false_positives_view(spark):
+    df, pdf = _token_df(spark)
+    exact = pdf["token"].value_counts()
+    thresh = 200
+    out = mg_frequent_items_agg(
+        df, "token", max_map_size=64, threshold=thresh,
+        error_type=NO_FALSE_POSITIVES,
+    ).toPandas()
+    for item in out["item"]:
+        assert exact[item] >= thresh  # lb >= thresh ⇒ true count >= thresh
+
+
+def _lengths_df(spark, groups=5, per=50, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(groups):
+        vals = rng.integers(10, 500, size=per)
+        rows.append(pd.DataFrame({"g": f"g{g}", "v": vals}))
+    pdf = pd.concat(rows, ignore_index=True)
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def _exact_quantile_frac(vals: np.ndarray, p: int, q: int) -> float:
+    s = np.sort(vals)
+    cum = np.arange(1, len(s) + 1)
+    idx = int(np.searchsorted(q * cum, p * len(s), side="left"))
+    return float(s[min(idx, len(s) - 1)])
+
+
+def test_kll_exact_regime_matches_sorted_array(spark):
+    df, pdf = _lengths_df(spark)  # 50 per group < k=200 → exact
+    out = kll_quantile_agg(
+        df, "g", "v", quantiles=((1, 2), (99, 100)), k=200
+    ).toPandas().set_index("g")
+    for g, sub in pdf.groupby("g"):
+        v = sub["v"].to_numpy(np.float64)
+        assert out.loc[g, "n"] == len(v)
+        assert out.loc[g, "q_1_2"] == _exact_quantile_frac(v, 1, 2)
+        assert out.loc[g, "q_99_100"] == _exact_quantile_frac(v, 99, 100)
+
+
+def test_kll_lossy_regime_rank_error_contract(spark):
+    """One mega-group through many partials: merged sketch honors the
+    published rank error (the merge property the UDAF relies on)."""
+    n = 60_000
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0.0, 1.0, size=n)
+    pdf = pd.DataFrame({"g": "all", "v": vals})
+    df = spark.createDataFrame(pdf).repartition(16)
+    k = 200
+    out = kll_quantile_agg(
+        df, "g", "v", quantiles=((1, 2), (9, 10)), k=k
+    ).toPandas().iloc[0]
+    eps = 2.446 / k**0.9433  # kll/KllHelper.java:295-299 (PMF, 99%)
+    s = np.sort(vals)
+    for (p, q), col in (((1, 2), "q_1_2"), ((9, 10), "q_9_10")):
+        got = out[col]
+        true_rank = np.searchsorted(s, got, side="right") / n
+        assert abs(true_rank - p / q) <= eps, (col, got, true_rank)
+    assert out["n"] == n

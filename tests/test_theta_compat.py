@@ -1,0 +1,131 @@
+"""MurmurHash3 known-answer vectors + reference-format theta images.
+
+The mmh3 vectors are the public-domain C++ v150 results the reference's
+own tests assert (test hash/MurmurHash3Test.java:41-160); the golden
+byte images are hand-constructed from the documented preamble layout
+(theta/PreambleUtil.java:58-125) independently of the serializer under
+test — our analog of the cross-language .sk resources consumed by
+theta/ThetaSketchCrossLanguageTest.java:40 (a Java-generated fixture
+needs JDK21+ for java.lang.foreign, unavailable here)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from datasketches_java_spark.kernels import theta_compat as tc
+from datasketches_java_spark.kernels.mmh3 import (
+    compute_seed_hash,
+    mmh3_128,
+    mmh3_128_longs,
+)
+
+# (input string, seed, h1, h2) — public-domain C++ v150 known answers
+VECTORS = [
+    ("The quick brown fox jumps over the lazy dog", 0,
+     0xE34BBC7BBC071B6C, 0x7A433CA9C49A9347),
+    ("The quick brown fox jumps over the lazy eog", 0,
+     0x362108102C62D1C9, 0x3285CD100292B305),
+    ("The quick brown fox jumps over the lazy dogdogdog", 0,
+     0x9C8205300E612FC4, 0xCBC0AF6136AA3DF9),
+    ("The quick brown fox jumps over the lazy1", 0,
+     0xE3301A827E5CDFE3, 0xBDBF05F8DA0F0392),
+]
+
+
+@pytest.mark.parametrize("s,seed,h1,h2", VECTORS)
+def test_mmh3_known_answers(s, seed, h1, h2):
+    got1, got2 = mmh3_128(s.encode(), seed)
+    assert got1 == h1 and got2 == h2
+
+
+def test_mmh3_longs_matches_bytes():
+    """hash(long) must equal hash of its 8 LE bytes (the Java overload
+    equivalence asserted by checkLongArrRemainderEQ8)."""
+    keys = np.array([0, 1, -1, 9001, 2**62, -(2**62)], dtype=np.int64)
+    h1v, h2v = mmh3_128_longs(keys, 9001)
+    for i, k in enumerate(keys):
+        e1, e2 = mmh3_128(struct.pack("<q", int(k)), 9001)
+        assert int(h1v[i]) == e1 and int(h2v[i]) == e2
+
+
+def test_seed_hash():
+    sh = compute_seed_hash(9001)
+    assert 0 < sh <= 0xFFFF
+    # deterministic and seed-sensitive
+    assert sh == compute_seed_hash(9001)
+    assert sh != compute_seed_hash(9002)
+
+
+def _golden_empty(seed_hash: int) -> bytes:
+    # preamble doc: empty = 8 bytes, preLongs=1, flags RO|Compact|Ordered|Empty
+    return struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, 2 | 8 | 16 | 4, seed_hash)
+
+
+def _golden_single(seed_hash: int, h: int) -> bytes:
+    return struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, 2 | 8 | 16 | 32, seed_hash) + struct.pack("<q", h)
+
+
+def _golden_exact(seed_hash: int, hashes) -> bytes:
+    head = struct.pack("<BBBBBBH", 2, 3, 3, 0, 0, 2 | 8 | 16, seed_hash)
+    head += struct.pack("<if", len(hashes), 0.0)
+    return head + np.asarray(hashes, dtype="<i8").tobytes()
+
+
+def test_serialize_matches_hand_constructed_goldens():
+    sh = compute_seed_hash(9001)
+    assert tc.serialize_compact(np.empty(0, np.int64)) == _golden_empty(sh)
+
+    h1 = tc.hash_longs(np.array([1], dtype=np.int64))
+    assert tc.serialize_compact(h1) == _golden_single(sh, int(h1[0]))
+
+    hs = tc.hash_longs(np.arange(10, dtype=np.int64))
+    hs = np.sort(hs)
+    assert tc.serialize_compact(hs) == _golden_exact(sh, hs)
+
+
+def test_round_trip_all_forms():
+    cases = [
+        (np.empty(0, np.int64), tc.LONG_MAX),                      # empty
+        (tc.hash_longs(np.array([7], dtype=np.int64)), tc.LONG_MAX),  # single
+        (np.sort(tc.hash_longs(np.arange(100))), tc.LONG_MAX),     # exact
+    ]
+    hs, th = tc.build_theta(tc.hash_longs(np.arange(10_000)), k=256)
+    assert th < tc.LONG_MAX and len(hs) == 256                     # estimating
+    cases.append((hs, th))
+    for hashes, theta in cases:
+        buf = tc.serialize_compact(hashes, theta)
+        h2, t2, empty2 = tc.deserialize_compact(buf)
+        assert t2 == theta and empty2 == (len(hashes) == 0 and theta == tc.LONG_MAX)
+        np.testing.assert_array_equal(h2, hashes)
+
+
+def test_estimating_estimate_within_bounds():
+    n = 50_000
+    hs, th = tc.build_theta(tc.hash_longs(np.arange(n)), k=4096)
+    est = tc.estimate(len(hs), th)
+    # binomial RSE ~ 1/sqrt(k); 4 sd envelope
+    assert abs(est - n) < 4 * n / np.sqrt(4096)
+
+
+def test_deserialize_rejects_garbage():
+    with pytest.raises(ValueError):
+        tc.deserialize_compact(b"\x01\x02\x03")
+    ok = tc.serialize_compact(np.empty(0, np.int64))
+    bad = bytes([ok[0], 99]) + ok[2:]  # wrong serial version
+    with pytest.raises(ValueError):
+        tc.deserialize_compact(bad)
+    with pytest.raises(ValueError):
+        tc.deserialize_compact(ok, seed=1234)  # seed-hash mismatch
+
+
+def test_string_and_long_lanes_disjoint_but_mergeable():
+    """update(String) and update(long) streams can union (same hash
+    space); sanity on the byte-items lane."""
+    a = tc.hash_bytes_items([b"alpha", b"beta", b"gamma"])
+    b = tc.hash_longs(np.arange(5))
+    u = np.unique(np.concatenate([a, b]))
+    assert len(u) == 8  # no collisions at this size
+    buf = tc.serialize_compact(np.sort(u))
+    h, th, _ = tc.deserialize_compact(buf)
+    assert th == tc.LONG_MAX and len(h) == 8
