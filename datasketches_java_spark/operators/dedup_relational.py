@@ -12,10 +12,17 @@ from __future__ import annotations
 
 from fractions import Fraction
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles
+
+# 16-bit popcount lookup (numpy 1.26 has no bitwise_count)
+_POP16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -43,14 +50,29 @@ def ssjoin_jaccard_pairs(
     Everything stays JVM-side (substring/xxhash64/window), no Python.
     Output: (id_a, id_b, intersect_ct, union_ct, jaccard_exact).
     """
+    from ..operators.rescore import exact_rescore_pairs
+
     t = threshold
     text = F.col(text_col)
     if not normalized:
         text = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_shingles(text, k)).alias("s"),
-    ).select("id", F.xxhash64("s").alias("sh"))
+    id_type = dict(df.dtypes)[id_col]
+    # narrow projection respread across all cores BEFORE the explode:
+    # small doc tables arrive as 1-2 input splits and the O(len·k)
+    # shingle expansion would run serially (same pattern as
+    # operators/signatures.py compute_signatures)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ndocs = df.select(
+        F.col(id_col).alias("id"), text.alias("txt")
+    ).repartition(par)
+    # the postings frame fans out to three plan references (freq, the
+    # ranked join); Catalyst does not CSE across DataFrame reuse, so
+    # without a persist the explode+hash of every shingle recomputes
+    # per reference (the round-2 bench's worst query at 168s). At web
+    # scale this is a checkpointed stage.
+    sh = ndocs.select(
+        "id", F.explode(char_shingles(F.col("txt"), k)).alias("s")
+    ).select("id", F.xxhash64("s").alias("sh")).persist()
 
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     from pyspark.sql import Window
@@ -79,28 +101,109 @@ def ssjoin_jaccard_pairs(
         .distinct()
     )
 
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh"))
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("intersect_ct"))
+    # verification: exact distinct-shingle intersection per candidate
+    # pair. Two plans, picked by dimension size (the broadcast-vs-
+    # shuffle decision Catalyst makes for joins, applied to the verify
+    # kernel):
+    #  - broadcast bitmaps (default here): one driver pass builds a
+    #    per-doc bitset over the global distinct-shingle dictionary;
+    #    workers verify a pair with AND + popcount — O(pairs · D/64)
+    #    word ops, no posting-level join, no re-hashing of text. (The
+    #    previous posting-join verification shuffled |pairs|·|doc|
+    #    rows: 1.5e9 intermediates / 74s on the sf0.1 template corpus,
+    #    where 1M postings share only ~2k distinct shingles.)
+    #  - shuffled rescore (fallback when the bitmap matrix would
+    #    exceed the broadcast budget): exact_rescore_pairs re-shingles
+    #    the texts per pair (operators/rescore.py) — O(pairs) rows
+    #    moved, scales to corpora whose docs can't sit on the driver.
+    bm = _collect_doc_bitmaps(sh)
+    if bm is not None:
+        return _verify_pairs_bitmap(cand, bm, t, id_type)
+    return exact_rescore_pairs(
+        cand, ndocs, "id", "txt", k, t,
+        normalize=False, id_type=id_type, broadcast_docs=True,
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    ca = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    cb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn("union_ct", F.col("na") + F.col("nb") - F.col("intersect_ct"))
-        .withColumn(
-            "jaccard_exact",
-            F.col("intersect_ct").cast("double") / F.col("union_ct"),
-        )
-        .filter(F.col("jaccard_exact") >= t)
-        .select("id_a", "id_b", "intersect_ct", "union_ct", "jaccard_exact")
+
+
+_BITMAP_BUDGET_BYTES = 256 << 20  # broadcast cap for the bitset matrix
+
+
+def _collect_doc_bitmaps(sh: DataFrame):
+    """(id, sh) postings → (sorted ids, bitset matrix, set sizes) on
+    the driver, or None when over the broadcast budget."""
+    stats = sh.agg(
+        F.countDistinct("id").alias("docs"),
+        F.countDistinct("sh").alias("dict"),
+        F.count("*").alias("postings"),
+    ).collect()[0]
+    n_docs, n_dict, n_post = stats["docs"], stats["dict"], stats["postings"]
+    if not n_docs:
+        return None
+    # budget check BEFORE any collect: bitset matrix size and the raw
+    # postings that must reach the driver
+    if n_docs * ((n_dict + 63) // 64) * 8 > _BITMAP_BUDGET_BYTES or n_post > 50_000_000:
+        return None
+    pdf = sh.toPandas()
+    ids = pdf["id"].to_numpy()
+    hs = pdf["sh"].to_numpy(np.int64)
+    D = np.unique(hs)
+    words = (len(D) + 63) // 64
+    if n_docs * words * 8 > _BITMAP_BUDGET_BYTES:
+        return None
+    order = np.argsort(ids, kind="stable")
+    ids_s, hs_s = ids[order], hs[order]
+    uids, starts = np.unique(ids_s, return_index=True)
+    counts = np.diff(np.append(starts, len(ids_s)))
+    pos = np.searchsorted(D, hs_s)
+    rows = np.repeat(np.arange(len(uids), dtype=np.int64), counts)
+    B = np.zeros((len(uids), words), dtype=np.uint64)
+    np.bitwise_or.at(
+        B.reshape(-1),
+        rows * words + (pos >> 6),
+        np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)),
     )
+    # distinct set size per doc = popcount of the row
+    nset = _POP16[B.view(np.uint16)].reshape(len(uids), -1).sum(
+        axis=1, dtype=np.int64
+    )
+    return uids, B, nset
+
+
+def _verify_pairs_bitmap(cand: DataFrame, bm, threshold: float, id_type: str) -> DataFrame:
+    """Exact Jaccard per candidate pair from broadcast bitsets."""
+    uids, B, nset = bm
+    bc = cand.sparkSession.sparkContext.broadcast((uids, B, nset))
+    schema = (
+        f"id_a {id_type}, id_b {id_type}, intersect_ct bigint, "
+        "union_ct bigint, jaccard_exact double"
+    )
+
+    def gen(batches):
+        u, bmat, ns = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ia = np.searchsorted(u, pdf["id_a"].to_numpy())
+            ib = np.searchsorted(u, pdf["id_b"].to_numpy())
+            inter = _POP16[(bmat[ia] & bmat[ib]).view(np.uint16)].reshape(
+                len(pdf), -1
+            ).sum(axis=1, dtype=np.int64)
+            na, nb = ns[ia], ns[ib]
+            uni = na + nb - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                j = np.where(uni > 0, inter / np.maximum(uni, 1), 0.0)
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "intersect_ct": inter,
+                    "union_ct": uni,
+                    "jaccard_exact": j,
+                }
+            )
+            yield out[out["jaccard_exact"] >= threshold]
+
+    return cand.mapInPandas(gen, schema)
 
 
 def ngram_jaccard_pairs(

@@ -10,6 +10,16 @@ semantics match the golden oracle builder exactly
 (corpus/generate.py:exact_jaccard_pairs): distinct char-k substrings
 of the (optionally normalized) text, whole string when shorter than k,
 empty text yields no shingles and therefore no pairs.
+
+Fully vectorized: shingles hash through the batch kernel
+(kernels/shingle.py:char_shingle_hashes, 63-bit lane) and per-pair
+distinct/intersection counts come from one lexsort over the flattened
+(pair, hash) stream — the same pattern as kernels/kmv.py's batched
+Jaccard, no per-row Python set ops. Identity is 63-bit hash equality
+(the reference's own identity is hash equality,
+theta/UpdatableThetaSketch.java:258); with ~10² shingles per caption
+the per-pair collision term is ~10⁴/2⁶³ ≈ 1e-15 — far below any
+operational concern, and never hit at tested tiers.
 """
 
 from __future__ import annotations
@@ -21,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.shingle import normalize_captions
+from ..kernels.shingle import char_shingle_hashes, normalize_captions
 
 RESCORE_SCHEMA = (
     "id_a string, id_b string, intersect_ct bigint, union_ct bigint, "
@@ -29,12 +39,16 @@ RESCORE_SCHEMA = (
 )
 
 
-def _shingle_set(text: str, k: int) -> set:
-    if not text:
-        return set()
-    if len(text) <= k:
-        return {text}
-    return {text[i : i + k] for i in range(len(text) - k + 1)}
+def _distinct_per_row(h: np.ndarray, rows: np.ndarray):
+    """Dedup (row, hash) pairs; rows is already row-sorted (the shingle
+    kernel's contract)."""
+    if len(h) == 0:
+        return rows, h
+    order = np.lexsort((h, rows))
+    hs, rs = h[order], rows[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    return rs[first], hs[first]
 
 
 def exact_rescore_pairs(
@@ -45,34 +59,54 @@ def exact_rescore_pairs(
     k: int = 5,
     threshold: float = 0.8,
     normalize: bool = True,
+    id_type: str = "string",
+    broadcast_docs: bool = False,
 ) -> DataFrame:
-    """pairs(id_a, id_b string) × docs(id, text) → exact-Jaccard-scored
-    pairs with jaccard_exact >= threshold.
+    """pairs(id_a, id_b) × docs(id, text) → exact-Jaccard-scored
+    pairs with jaccard_exact >= threshold. Ids are carried as
+    `id_type` (callers with integral keys keep them integral).
 
     The two text joins shuffle only the found pairs plus the texts they
-    touch; at web scale docs is bucketed by id so they co-locate."""
+    touch; at web scale docs is bucketed by id so they co-locate
+    (`broadcast_docs` for small dimension-sized doc tables)."""
     base = docs.select(
-        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("txt")
+        F.col(id_col).cast(id_type).alias("id"), F.col(text_col).alias("txt")
     )
     ta = base.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a"))
     tb = base.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b"))
+    if broadcast_docs:
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     joined = pairs.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+    schema = RESCORE_SCHEMA.replace("string", id_type, 2)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             a = normalize_captions(pdf["txt_a"]) if normalize else pdf["txt_a"].fillna("")
             b = normalize_captions(pdf["txt_b"]) if normalize else pdf["txt_b"].fillna("")
-            inter = np.zeros(len(pdf), dtype=np.int64)
-            uni = np.zeros(len(pdf), dtype=np.int64)
-            for i, (x, y) in enumerate(zip(a, b)):
-                sx, sy = _shingle_set(x, k), _shingle_set(y, k)
-                if not sx or not sy:
-                    continue
-                ii = len(sx & sy)
-                inter[i] = ii
-                uni[i] = len(sx) + len(sy) - ii
+            ha, ra = char_shingle_hashes(a, k)
+            hb, rb = char_shingle_hashes(b, k)
+            ra, ha = _distinct_per_row(ha, ra)
+            rb, hb = _distinct_per_row(hb, rb)
+            na = np.bincount(ra, minlength=n).astype(np.int64)
+            nb = np.bincount(rb, minlength=n).astype(np.int64)
+            # intersection: merge both distinct streams, count (pair,
+            # hash) values seen twice — one lexsort over the batch
+            rows = np.concatenate([ra, rb])
+            hs = np.concatenate([ha, hb])
+            order = np.lexsort((hs, rows))
+            rs, hh = rows[order], hs[order]
+            dup = np.zeros(len(rs), dtype=bool)
+            if len(rs) > 1:
+                dup[1:] = (hh[1:] == hh[:-1]) & (rs[1:] == rs[:-1])
+            inter = np.bincount(rs[dup], minlength=n).astype(np.int64)
+            # a pair counts only when BOTH sides have shingles (empty
+            # text yields no pairs, per the golden builder)
+            both = (na > 0) & (nb > 0)
+            inter = np.where(both, inter, 0)
+            uni = np.where(both, na + nb - inter, 0)
             with np.errstate(invalid="ignore", divide="ignore"):
                 j = np.where(uni > 0, inter / np.maximum(uni, 1), 0.0)
             out = pd.DataFrame(
@@ -86,4 +120,4 @@ def exact_rescore_pairs(
             )
             yield out[out["jaccard_exact"] >= threshold]
 
-    return joined.mapInPandas(gen, RESCORE_SCHEMA)
+    return joined.mapInPandas(gen, schema)
