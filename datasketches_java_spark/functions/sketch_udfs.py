@@ -126,32 +126,58 @@ def varopt_sample_agg(
     """Per-group VarOpt weighted sample (kernels/varopt.py; reference
     sampling/VarOptItemsSketch.java): k items per group, heavy items
     exact, light items at the threshold weight — the 'QA-sample the
-    biggest clusters proportional to size' operator. Deterministic
-    given (group, seed) under task retry."""
+    biggest clusters proportional to size' operator.
+
+    TWO-LEVEL, mirroring VarOptItemsUnion (VarOptItemsUnion.java:205):
+    each Arrow batch collapses its groups to a k-sample over true
+    weights (map-side combine), then the grouped final stage re-samples
+    the union of partial samples over their ADJUSTED weights. Each
+    stage preserves E[adjusted weight] = true weight (tower property),
+    so subset-sum estimates stay unbiased while per-task state is O(k)
+    per group — a 10^10-row mega-group never sits in one pandas frame.
+    Samples are deterministic given the batch layout (each stage sorts
+    its input canonically and derives the PPS offset from item
+    hashes), matching the reference's own order-dependent union."""
     import numpy as np
 
     from ..kernels.varopt import varopt_sample
 
-    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # canonical order first: shuffle row order must not change the
-        # sample under task retry (deterministic-randomness rule,
-        # SURVEY.md §4 custom work #3)
-        pdf = pdf.sort_values(item_col, kind="mergesort")
-        items = pdf[item_col].astype(str).to_numpy()
-        w = pdf[weight_col].to_numpy(np.float64)
+    def _sample(items: np.ndarray, w: np.ndarray):
+        order = np.argsort(items, kind="stable")
+        items, w = items[order], w[order]
         ih = _hash_strings(pd.Series(items), seed).astype(np.uint64)
-        s_idx, adj = varopt_sample(np.arange(len(items)), w, k,
-                                   seed=seed ^ (int(ih[0]) & 0x7FFFFFFF) if len(ih) else seed)
+        s = seed ^ (int(ih[0]) & 0x7FFFFFFF) if len(ih) else seed
+        idx, adj, _tau = varopt_sample(np.arange(len(items)), w, k, seed=s)
+        return items[idx], adj
+
+    schema = f"{group_col} string, {item_col} string, adj_weight double"
+
+    def partial(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                it, adj = _sample(
+                    sub[item_col].astype(str).to_numpy(),
+                    sub[weight_col].to_numpy(np.float64),
+                )
+                frames.append(pd.DataFrame(
+                    {group_col: g, item_col: it, "adj_weight": adj}
+                ))
+            yield pd.concat(frames, ignore_index=True)
+
+    partials = df.select(group_col, item_col, weight_col).mapInPandas(
+        partial, schema
+    )
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        it, adj = _sample(
+            pdf[item_col].astype(str).to_numpy(),
+            pdf["adj_weight"].to_numpy(np.float64),
+        )
         return pd.DataFrame(
-            {
-                group_col: [key[0]] * len(s_idx),
-                item_col: items[s_idx],
-                "adj_weight": adj,
-            }
+            {group_col: [key[0]] * len(it), item_col: it, "adj_weight": adj}
         )
 
-    return (
-        df.select(group_col, item_col, weight_col)
-        .groupBy(group_col)
-        .applyInPandas(agg, f"{group_col} string, {item_col} string, adj_weight double")
-    )
+    return partials.groupBy(group_col).applyInPandas(final, schema)

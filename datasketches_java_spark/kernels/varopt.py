@@ -46,17 +46,20 @@ def _threshold(weights: np.ndarray, k: int) -> tuple[float, int]:
 
 def varopt_sample(
     items: np.ndarray, weights: np.ndarray, k: int, seed: int = 9001
-) -> tuple[np.ndarray, np.ndarray]:
-    """(sampled items, adjusted weights). Deterministic given seed —
-    the systematic-PPS offset is derived from the item hashes, so Spark
-    task retries reproduce the same sample (SURVEY.md §4 custom #3)."""
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """(sampled items, adjusted weights, tau). tau = 0.0 in the n <= k
+    passthrough (no item was threshold-adjusted) so downstream
+    estimators never misclassify exact items as light. Deterministic
+    given seed — the systematic-PPS offset is derived from the item
+    hashes, so Spark task retries reproduce the same sample
+    (SURVEY.md §4 custom #3)."""
     items = np.asarray(items)
     weights = np.asarray(weights, dtype=np.float64)
     if np.any(weights <= 0):
         raise ValueError("weights must be positive")
     n = len(items)
     if n <= k:
-        return items, weights.copy()
+        return items, weights.copy(), 0.0
     tau, _ = _threshold(weights, k)
     heavy = weights > tau
     n_light_slots = k - int(heavy.sum())
@@ -77,23 +80,31 @@ def varopt_sample(
     chosen = np.unique(chosen)  # fp-edge duplicates: extremely rare
     sel = np.concatenate([np.nonzero(heavy)[0], li[chosen]])
     adj = np.concatenate([weights[heavy], np.full(len(chosen), tau)])
-    return items[sel], adj
+    return items[sel], adj, float(tau)
 
 
 def estimate_subset_sum(
     sample_items: np.ndarray, adj_weights: np.ndarray, mask: np.ndarray,
-    num_std_dev: float = 2.0,
+    num_std_dev: float = 2.0, tau: float | None = None,
 ) -> tuple[float, float, float]:
     """(lb, est, ub) for the true total weight of the subset selected by
     `mask`, from a VarOpt sample (reference estimateSubsetSum,
     VarOptItemsSketch.java:640). Normal-approximation bounds from the
-    per-item Horvitz-Thompson variance of the thresholded design."""
+    per-item Horvitz-Thompson variance of the thresholded design.
+
+    Pass the sample's `tau` (returned by varopt_sample): with tau = 0
+    (exact passthrough) no item carries variance. Omitting tau falls
+    back to inferring it as adj.min(), which misattributes variance to
+    the smallest exact item in all-heavy/passthrough samples."""
     adj = np.asarray(adj_weights, dtype=np.float64)
     m = np.asarray(mask, dtype=bool)
     est = float(adj[m].sum())
     if len(adj) == 0 or not m.any():
         return 0.0, 0.0, 0.0
-    tau = adj.min()  # light items carry tau; heavies have zero variance
+    if tau is None:
+        tau = adj.min()  # legacy inference; wrong for passthrough samples
+    if tau <= 0:
+        return est, est, est  # exact sample: zero variance
     light = m & (adj <= tau * (1 + 1e-12))
     # var of HT estimator per light item ≈ tau² - tau·w <= tau²
     var = float((adj[light] ** 2).sum())

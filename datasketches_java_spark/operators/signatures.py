@@ -156,6 +156,35 @@ def id_map(corpus: DataFrame) -> DataFrame:
     return corpus.select(F.xxhash64("image_id").alias("id64"), "image_id")
 
 
+def id_collision_audit(corpus: DataFrame, key=None) -> DataFrame:
+    """Exact audit of the internal 64-bit key: rows whose id64 collides
+    across DISTINCT image_ids (a birthday collision would silently
+    merge two rows through the whole pipeline). Output:
+    (id64, n_ids, image_ids) — empty means the run is collision-free.
+
+    At 10^12 rows the expected number of 64-bit collisions is ~27
+    (n²/2^65), so production runs this audit once per corpus ingest and
+    quarantines colliding ids into a remap side-table (the '128-bit
+    lane': those few ids get xxhash64(image_id || seed2) as a
+    tiebreak); at bench tiers P(any collision) < 1e-8. The audit is a
+    single groupBy on the slim (id64, image_id) projection — one
+    shuffle of two fixed-width columns.
+
+    `key` overrides the hash expression (tests inject a deliberately
+    narrow hash to exercise the detection path)."""
+    if key is None:
+        key = F.xxhash64("image_id")
+    return (
+        corpus.select(key.alias("id64"), "image_id")
+        .groupBy("id64")
+        .agg(
+            F.countDistinct("image_id").alias("n_ids"),
+            F.collect_set("image_id").alias("image_ids"),
+        )
+        .filter(F.col("n_ids") > 1)
+    )
+
+
 def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN) -> DataFrame:
     """corpus (input_hint schema) → signature table keyed by id64.
 

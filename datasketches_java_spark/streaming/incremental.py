@@ -98,18 +98,25 @@ def run_incremental_signatures(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        version = f"state_v{batch_id}"
+        prev = _current_state_path(state_dir)
+        if prev is not None and os.path.basename(prev) == version:
+            # retry of an already-committed batch (failure landed between
+            # the CURRENT flip and the stream-checkpoint commit): state
+            # already includes this batch — re-merging would read and
+            # overwrite the same directory. The KMV union is idempotent,
+            # so skipping preserves exactly-once semantics.
+            return
         new = kmv_sketch_bytes_agg(
             batch_df.withColumn(group_col, F.col(group_col).cast("string")),
             group_col, value_col, k,
         )
-        prev = _current_state_path(state_dir)
         if prev is not None:
             new = new.unionByName(sess.read.parquet(prev))
         # distributed merge: per-group sketch union on executors
         merged = new.groupBy(group_col).applyInPandas(
             merge_group, f"{group_col} string, sketch binary"
         )
-        version = f"state_v{batch_id}"
         out = os.path.join(state_dir, version)
         merged.write.mode("overwrite").parquet(out)
         old = _current_state_path(state_dir)

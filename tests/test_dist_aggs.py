@@ -115,3 +115,32 @@ def test_kll_lossy_regime_rank_error_contract(spark):
         true_rank = np.searchsorted(s, got, side="right") / n
         assert abs(true_rank - p / q) <= eps, (col, got, true_rank)
     assert out["n"] == n
+
+
+def test_varopt_two_level_unbiased_mega_group(spark):
+    """One mega-group split across many partitions/batches: the
+    partial/final VarOpt tree keeps subset sums unbiased (tower
+    property over adjusted weights) with O(k) state per task."""
+    from datasketches_java_spark.functions.sketch_udfs import varopt_sample_agg
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    pdf = pd.DataFrame(
+        {
+            "g": "all",
+            "item": [f"i{j:06d}" for j in range(n)],
+            "w": rng.pareto(1.5, n) + 0.1,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    out = varopt_sample_agg(df, "g", "item", "w", k=256).toPandas()
+    assert len(out) <= 256
+    # total-weight estimate: adjusted weights sum ≈ true total
+    true = pdf["w"].sum()
+    assert abs(out["adj_weight"].sum() - true) / true < 0.25
+    # heavy items survive with exact weight
+    w_by_item = dict(zip(pdf["item"], pdf["w"]))
+    top = pdf.nlargest(5, "w")
+    got = dict(zip(out["item"], out["adj_weight"]))
+    for it in top["item"]:
+        assert it in got and abs(got[it] - w_by_item[it]) < 1e-9

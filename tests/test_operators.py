@@ -156,3 +156,22 @@ def test_psnr_pairs_invariant(spark, smoke_sf_dir):
     same = out[out["same_dims"]]
     assert len(same) > 50
     assert (same["psnr"] >= 40.0).all()
+
+
+def test_id_collision_audit(spark):
+    """Audit detects colliding internal keys (injected via a narrow
+    hash); the real xxhash64 lane is collision-free at test tiers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datasketches_java_spark.operators.signatures import id_collision_audit
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"img{i:05d}" for i in range(500)]})
+    )
+    # narrow 3-bit key → guaranteed collisions, detection must fire
+    narrow = id_collision_audit(docs, key=F.pmod(F.xxhash64("image_id"), F.lit(8)))
+    rows = narrow.collect()
+    assert len(rows) == 8 and all(r.n_ids > 1 for r in rows)
+    # true 64-bit lane: no collisions at this tier
+    assert id_collision_audit(docs).count() == 0

@@ -13,7 +13,8 @@ from datasketches_java_spark.kernels.varopt import (
 def test_small_stream_kept_exactly():
     items = np.arange(10)
     w = np.linspace(1, 10, 10)
-    s, adj = varopt_sample(items, w, k=32)
+    s, adj, tau0 = varopt_sample(items, w, k=32)
+    assert tau0 == 0.0  # passthrough: nothing threshold-adjusted
     assert np.array_equal(s, items)
     assert np.allclose(adj, w)
 
@@ -23,7 +24,7 @@ def test_sample_size_and_heavy_exact():
     n, k = 5000, 64
     items = np.arange(n)
     w = rng.pareto(1.5, n) + 0.1  # heavy-tailed
-    s, adj = varopt_sample(items, w, k)
+    s, adj, _tau = varopt_sample(items, w, k)
     assert len(s) <= k
     assert len(s) >= k - 2  # fp-edge dedup can drop at most a hair
     tau, _ = _threshold(w, k)
@@ -47,9 +48,9 @@ def test_subset_sum_unbiased_over_seeds():
     true = w[subset].sum()
     ests = []
     for seed in range(200):
-        s, adj = varopt_sample(items, w, k, seed=seed * 7919 + 13)
+        s, adj, tau = varopt_sample(items, w, k, seed=seed * 7919 + 13)
         mask = (s % 3) == 0
-        _, est, _ = estimate_subset_sum(s, adj, mask)
+        _, est, _ = estimate_subset_sum(s, adj, mask, tau=tau)
         ests.append(est)
     mean = np.mean(ests)
     # unbiased within 3 standard errors of the empirical spread
@@ -63,7 +64,7 @@ def test_total_weight_estimate_exactish():
     rng = np.random.default_rng(11)
     n, k = 3000, 256
     w = rng.gamma(2.0, 3.0, n) + 0.01
-    s, adj = varopt_sample(np.arange(n), w, k, seed=5)
+    s, adj, _tau = varopt_sample(np.arange(n), w, k, seed=5)
     assert adj.sum() == pytest.approx(w.sum(), rel=0.02)
 
 
@@ -77,7 +78,7 @@ def test_bounds_cover_true_subset_sum():
     covered = 0
     trials = 60
     for seed in range(trials):
-        s, adj = varopt_sample(items, w, k, seed=seed * 104729 + 7)
-        lb, est, ub = estimate_subset_sum(s, adj, (s % 5) == 0, 2.0)
+        s, adj, tau = varopt_sample(items, w, k, seed=seed * 104729 + 7)
+        lb, est, ub = estimate_subset_sum(s, adj, (s % 5) == 0, 2.0, tau=tau)
         covered += int(lb <= true <= ub)
     assert covered / trials >= 0.9  # 2SD nominal ≈ 95%
