@@ -180,6 +180,30 @@ def _q_kll_caption_len_by_source(spark, sf_dir):
     )
 
 
+def _q_tuple_text_stats(spark, sf_dir):
+    """Tuple sketch with REAL per-key summaries (reference U1/U2,
+    tuple/TupleSketch.java + arrayofdoubles): per source, a Theta
+    sample of distinct texts where each retained text carries
+    (occurrence count, total chars) counters combined on collision.
+    Exact at this tier (distinct << k=4096 ⇒ theta=1, retained =
+    distinct, totals exact); estimation-regime unbiasedness is
+    pytest-gated (tests/test_tuple_kmv.py)."""
+    from datasketches_java_spark.functions.sketch_udfs import tuple_sketch_agg
+
+    d = _docs(spark, sf_dir)
+    out = tuple_sketch_agg(
+        d, "source", "text",
+        {"rows": F.lit(1.0), "chars": F.length("text")},
+        k=4096,
+    )
+    return out.select(
+        "source",
+        F.col("retained").alias("distinct_texts"),
+        F.col("total_rows").cast("bigint").alias("n_rows"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 def _q_psample_docs(spark, sf_dir):
     """Deterministic p-sampling front-end (reference T9: initial θ =
     p·2^63 — here a hash-threshold filter, the relational equivalent)."""
@@ -405,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": _q_frequent_tokens,
         "mg_frequent_tokens": _q_mg_frequent_tokens,
         "kll_caption_len_by_source": _q_kll_caption_len_by_source,
+        "tuple_text_stats_by_source": _q_tuple_text_stats,
         "psample_docs": _q_psample_docs,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "kmv_distinct_by_source": _q_kmv_distinct_by_source,
@@ -675,6 +700,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY token
             HAVING count(*) >= 50
+        """,
+        "tuple_text_stats_by_source": """
+            -- tuple sketch exact regime: distinct << k ⇒ retained =
+            -- distinct, per-key counters exact
+            SELECT source,
+                   CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
         """,
         "kll_caption_len_by_source": """
             -- discrete inclusive quantile, integer rank fractions:

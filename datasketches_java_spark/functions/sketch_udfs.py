@@ -15,6 +15,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..config import DEFAULT_UPDATE_SEED
 from ..kernels import kmv
@@ -117,6 +118,76 @@ def kmv_merge_sketches(sketches: list[bytes]) -> tuple[float, float, float]:
         return 0.0, 0.0, 0.0
     u = kmv.union_many(sigs, k)
     return kmv.estimate_bounds(u, k, 2)
+
+
+def tuple_sketch_agg(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    summary_exprs: dict[str, "object"],
+    k: int = 4096,
+    combiner: str = "sum",
+    seed: int = DEFAULT_UPDATE_SEED,
+) -> DataFrame:
+    """Per-group TUPLE sketch aggregation (kernels/tuple_kmv.py;
+    reference tuple/TupleSketch.java + arrayofdoubles): a Theta sample
+    of distinct keys where each retained key carries combined summary
+    columns. Two-level partial/final like kmv_distinct_agg — O(k·d)
+    state per group per task.
+
+    `summary_exprs` maps output names to Spark Columns evaluated per
+    input ROW; rows of the same key combine per `combiner`. Output:
+    (group, distinct_est, retained, total_<name>... ) where totals are
+    the unbiased all-keys estimates (exact when distinct <= k).
+    """
+    import numpy as np
+
+    from ..kernels.tuple_kmv import TupleKmv
+
+    names = list(summary_exprs.keys())
+    d = len(names)
+    proj = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(key_col).cast("string").alias("__key"),
+        *[F.col(c).cast("double").alias(f"__s_{n}") if isinstance(c, str)
+          else c.cast("double").alias(f"__s_{n}")
+          for n, c in summary_exprs.items()],
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_g, out_b = [], []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                h = _hash_strings(sub["__key"], seed)
+                s = sub[[f"__s_{n}" for n in names]].to_numpy(np.float64)
+                sk = TupleKmv.from_stream(h, s, k, combiner=combiner)
+                out_g.append(g)
+                out_b.append(sk.serialize())
+            yield pd.DataFrame({group_col: out_g, "sketch": out_b})
+
+    partials = proj.mapInPandas(partial, f"{group_col} string, sketch binary")
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = TupleKmv.deserialize(pdf["sketch"].iloc[0])
+        for b in pdf["sketch"].iloc[1:]:
+            sk = sk.union(TupleKmv.deserialize(b), combiner=combiner)
+        totals = sk.summary_totals()
+        row = {
+            group_col: [key[0]],
+            "distinct_est": [sk.distinct_estimate()],
+            "retained": [len(sk.hashes)],
+        }
+        for i, n in enumerate(names):
+            row[f"total_{n}"] = [float(totals[i])]
+        return pd.DataFrame(row)
+
+    schema = (
+        f"{group_col} string, distinct_est double, retained bigint, "
+        + ", ".join(f"total_{n} double" for n in names)
+    )
+    return partials.groupBy(group_col).applyInPandas(final, schema)
 
 
 def varopt_sample_agg(

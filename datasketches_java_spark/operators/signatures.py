@@ -83,6 +83,40 @@ def phash_band_keys(phash: np.ndarray, n_bands: int, seed: int) -> np.ndarray:
     ).astype(np.int32)
 
 
+def phash_mih_keys(phash: np.ndarray, seed: int) -> np.ndarray:
+    """int32[n, 68] (all negative): multi-index-hashing keys — per
+    16-bit block, the block value plus its 16 one-bit flips (Norouzi
+    et al., "Fast Search in Hamming Space with Multi-Index Hashing",
+    CVPR 2012). A block collides with certainty when its Hamming
+    distance is <= 2: 0 errors → identical base keys; 1 error e →
+    A's flip e meets B's base; 2 errors e1^e2 → A's flip e1 meets B's
+    flip e2 (x ^ y = e has single-bit solutions). By pigeonhole over
+    4 blocks, min-block-Hamming <= 2 holds for EVERY total Hamming
+    <= 11 pattern, so the channel's verify threshold (Hamming <= 8,
+    config.phash_max_hamming) is fully guaranteed — tested in
+    tests/test_operators.py. Keys are mixed with the block index and
+    sign-tagged negative like all image-channel keys."""
+    ph = np.asarray(phash, dtype=np.int64).astype(np.uint64)
+    n = len(ph)
+    out = np.empty((n, 4 * 17), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        s = seed_mix(seed + 990_001)
+        col = 0
+        for b in range(4):
+            block = (ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            for flip in range(17):
+                v = block if flip == 0 else block ^ np.uint64(1 << (flip - 1))
+                out[:, col] = mix64(
+                    v
+                    ^ (np.uint64(b) * np.uint64(0x9E3779B97F4A7C15))
+                    ^ s
+                )
+                col += 1
+    return (
+        (out >> np.uint64(33)).astype(np.int64) - np.int64(2**31)
+    ).astype(np.int32)
+
+
 def _signature_batches(cfg: DedupConfig):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,6 +144,12 @@ def _signature_batches(cfg: DedupConfig):
                 ph_bands = phash_band_keys(
                     pdf["phash"].to_numpy(np.int64), cfg.phash_bands, cfg.seed
                 )
+                if cfg.phash_mih:
+                    ph_bands = np.concatenate(
+                        [ph_bands,
+                         phash_mih_keys(pdf["phash"].to_numpy(np.int64), cfg.seed)],
+                        axis=1,
+                    )
             else:  # text-only tables: no image channel
                 ph_bands = np.empty((n, 0), dtype=np.int32)
 

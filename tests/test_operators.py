@@ -175,3 +175,31 @@ def test_id_collision_audit(spark):
     assert len(rows) == 8 and all(r.n_ids > 1 for r in rows)
     # true 64-bit lane: no collisions at this tier
     assert id_collision_audit(docs).count() == 0
+
+
+def test_phash_mih_keys_guarantee():
+    """Exhaustive-ish check of the MIH collision guarantee: every
+    total-Hamming <= 11 pattern has a block with <= 2 errors and thus
+    a shared key; random Hamming <= 8 patterns always collide."""
+    import numpy as np
+
+    from datasketches_java_spark.operators.signatures import phash_mih_keys
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(-(2**62), 2**62, size=1, dtype=np.int64)
+    kb = set(phash_mih_keys(base, 9001)[0].tolist())
+    for trial in range(300):
+        h = int(rng.integers(1, 9))  # Hamming 1..8
+        bits = rng.choice(64, size=h, replace=False)
+        other = base.view(np.uint64)[0]
+        for b in bits:
+            other = other ^ (np.uint64(1) << np.uint64(b))
+        ko = set(phash_mih_keys(other.reshape(1).view(np.int64), 9001)[0].tolist())
+        assert kb & ko, f"no shared key at hamming {h} bits {bits}"
+    # hamming 12 spread 3/block CAN miss (min block = 3) — not guaranteed
+    other = base.view(np.uint64)[0]
+    for blk in range(4):
+        for j in (0, 5, 10):
+            other = other ^ (np.uint64(1) << np.uint64(16 * blk + j))
+    ko = set(phash_mih_keys(other.reshape(1).view(np.int64), 9001)[0].tolist())
+    assert not (kb & ko)  # documents the boundary of the guarantee
