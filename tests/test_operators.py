@@ -203,3 +203,57 @@ def test_phash_mih_keys_guarantee():
             other = other ^ (np.uint64(1) << np.uint64(16 * blk + j))
     ko = set(phash_mih_keys(other.reshape(1).view(np.int64), 9001)[0].tolist())
     assert not (kb & ko)  # documents the boundary of the guarantee
+
+
+def test_phash_mih_pipeline_candidates(spark):
+    """End-to-end image channel with phash_mih on: pairs at Hamming
+    3-8 (including the 2+2+2+2 spread the block-pair keys cannot see)
+    become LSH candidates; with mih off the spread-8 pair is missed."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datasketches_java_spark.config import DedupConfig
+    from datasketches_java_spark.operators.lsh import candidate_pairs
+    from datasketches_java_spark.operators.signatures import (
+        compute_signatures, explode_bands,
+    )
+
+    rng = np.random.default_rng(7)
+    words = ["alpha","bravo","charlie","delta","echo","foxtrot","golf",
+             "hotel","india","juliet","kilo","lima","mike","november"]
+    rows = []
+    base_hashes = rng.integers(-(2**62), 2**62, size=40, dtype=np.int64)
+    planted = []
+    for i, bh in enumerate(base_hashes):
+        cap_a = " ".join(rng.choice(words, 12))
+        rows.append((f"img{i:04d}a", cap_a, int(bh)))
+        if i < 6:
+            # hamming patterns: 3,4,..,8 with the last spread 2/block
+            if i == 5:
+                flip = 0x0003_0003_0003_0003  # 2+2+2+2 = 8
+            else:
+                flip = (1 << (3 + i)) - 1     # 3..7 bits in block 0
+            other = np.int64(np.uint64(bh) ^ np.uint64(flip))
+            cap_b = " ".join(rng.choice(words, 12))
+            rows.append((f"img{i:04d}b", cap_b, int(other)))
+            planted.append((f"img{i:04d}a", f"img{i:04d}b"))
+    pdf = pd.DataFrame(rows, columns=["image_id", "caption", "phash"])
+    corpus = spark.createDataFrame(pdf)
+
+    def cands(cfg):
+        sig = compute_signatures(corpus, cfg)
+        pairs = candidate_pairs(explode_bands(sig), cfg)
+        idm = corpus.select(
+            F.xxhash64("image_id").alias("id64"), "image_id"
+        )
+        a = idm.select(F.col("id64").alias("id_a"), F.col("image_id").alias("na"))
+        b = idm.select(F.col("id64").alias("id_b"), F.col("image_id").alias("nb"))
+        out = pairs.join(a, "id_a").join(b, "id_b").select("na", "nb").collect()
+        return {tuple(sorted((r.na, r.nb))) for r in out}
+
+    with_mih = cands(DedupConfig(phash_mih=True))
+    for p in planted:
+        assert tuple(sorted(p)) in with_mih, f"missed {p} with MIH on"
+    without = cands(DedupConfig(phash_mih=False))
+    assert tuple(sorted(planted[5])) not in without  # spread-8 invisible to block pairs
