@@ -247,7 +247,14 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN) -> DataFram
     # starving the CPU-bound kernel. Re-spread the slim projection (a
     # few MB of captions, never the pixels) across all cores.
     par = slim.sparkSession.sparkContext.defaultParallelism
-    return slim.repartition(par).mapInPandas(_signature_batches(cfg), SIG_SCHEMA)
+    out = slim.repartition(par).mapInPandas(_signature_batches(cfg), SIG_SCHEMA)
+    # hash-partition the OUTPUT by id64: the verify stage joins this
+    # table twice on id64 — with the cached layout already
+    # hash-partitioned, both joins skip their signature-side Exchange
+    # (one shuffle here saves two downstream; at web scale this is the
+    # bucketed-table layout). mapInPandas can't advertise its input
+    # partitioning, hence the explicit repartition after it.
+    return out.repartition(par, "id64")
 
 
 def explode_bands(signatures: DataFrame) -> DataFrame:
