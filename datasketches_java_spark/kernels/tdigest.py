@@ -1,0 +1,163 @@
+"""t-digest — mean-centroid quantile sketch (reference
+tdigest/TDigestDouble.java; Dunning & Ertl, "Computing extremely
+accurate quantiles using t-digests", 2019).
+
+Same design parameters as the reference: compression k (DEFAULT_K =
+200, TDigestDouble.java:49), the K_2 scale function with cluster sizes
+proportional to q·(1-q) under the normalizer C/z(C,n) with
+z = 4·ln(n/C) + 24 (TDigestDouble.java:655-669, C = 2k as used at
+:676), greedy left-to-right centroid packing with the min(f(q0),
+f(q2)) bound (:676-681), overflow-safe weighted centroid means
+(:683-693), exact min/max tracking. This is the BATCH construction —
+one sort + one greedy pass per batch/merge instead of the reference's
+amortized buffer — so accuracy matches the merging-t-digest family,
+not byte-level state.
+
+Queries interpolate linearly between adjacent centroid means with the
+standard half-weight convention (each centroid's mean sits at the
+midpoint of its weight span), clamped to exact min/max at the tails.
+Merge = concatenate centroids and re-pack (weights carried), the same
+merge rule the reference's merge(TDigestDouble) applies (:115-130);
+associative up to the documented accuracy, tested empirically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_K = 200  # TDigestDouble.java:49
+
+
+def _pack(means: np.ndarray, weights: np.ndarray, k: int):
+    """Greedy centroid packing of weight-sorted input (one merge pass
+    of TDigestDouble.merge, vectorized where possible)."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order].astype(np.float64)
+    total = weights.sum()
+    C = 2.0 * k
+    norm = C / (4.0 * np.log(max(total, C + 1) / C) + 24.0)
+    out_m = [means[0]]
+    out_w = [weights[0]]
+    weight_so_far = 0.0
+    n = len(means)
+    for i in range(1, n):
+        proposed = out_w[-1] + weights[i]
+        add = False
+        if i != 1 and i != n - 1:
+            q0 = weight_so_far / total
+            q2 = (weight_so_far + proposed) / total
+            bound = total * min(q0 * (1 - q0), q2 * (1 - q2)) / norm
+            add = proposed <= bound
+        if add:
+            w_new = out_w[-1] + weights[i]
+            out_m[-1] += (means[i] - out_m[-1]) * weights[i] / w_new
+            out_w[-1] = w_new
+        else:
+            weight_so_far += out_w[-1]
+            out_m.append(means[i])
+            out_w.append(weights[i])
+    return np.array(out_m), np.array(out_w)
+
+
+class TDigest:
+    def __init__(self, k: int = DEFAULT_K):
+        self.k = k
+        self.means = np.empty(0)
+        self.weights = np.empty(0)
+        self.min = np.inf
+        self.max = -np.inf
+
+    @property
+    def n(self) -> float:
+        return float(self.weights.sum())
+
+    def update_many(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        m = np.concatenate([self.means, v])
+        w = np.concatenate([self.weights, np.ones(len(v))])
+        self.means, self.weights = _pack(m, w, self.k)
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if len(other.means) == 0:
+            return self
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        m = np.concatenate([self.means, other.means])
+        w = np.concatenate([self.weights, other.weights])
+        self.means, self.weights = _pack(m, w, min(self.k, other.k))
+        return self
+
+    # --- queries ----------------------------------------------------
+
+    def _mid_cum(self) -> np.ndarray:
+        """Cumulative weight at each centroid's mean (half-weight)."""
+        cum = np.cumsum(self.weights)
+        return cum - self.weights / 2.0
+
+    def get_quantile(self, rank: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        total = self.n
+        target = rank * total
+        mid = self._mid_cum()
+        if target <= mid[0]:
+            return self.min if rank <= 0 else float(
+                self.min + (self.means[0] - self.min) * (target / max(mid[0], 1e-300))
+            )
+        if target >= mid[-1]:
+            if rank >= 1:
+                return self.max
+            span = total - mid[-1]
+            return float(
+                self.means[-1]
+                + (self.max - self.means[-1]) * ((target - mid[-1]) / max(span, 1e-300))
+            )
+        j = int(np.searchsorted(mid, target, side="right"))
+        frac = (target - mid[j - 1]) / max(mid[j] - mid[j - 1], 1e-300)
+        return float(self.means[j - 1] + (self.means[j] - self.means[j - 1]) * frac)
+
+    def get_rank(self, value: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if value <= self.min:
+            return 0.0
+        if value >= self.max:
+            return 1.0
+        mid = self._mid_cum()
+        pts = np.concatenate([[self.min], self.means, [self.max]])
+        cums = np.concatenate([[0.0], mid, [self.n]])
+        return float(np.interp(value, pts, cums) / self.n)
+
+    # --- serialization (versioned LE preamble) ----------------------
+
+    _MAGIC = 0x54444731  # "TDG1"
+
+    def serialize(self) -> bytes:
+        head = np.array([self._MAGIC, 1, self.k, len(self.means)], dtype="<u4")
+        return (
+            head.tobytes()
+            + np.array([self.min, self.max], dtype="<f8").tobytes()
+            + self.means.astype("<f8").tobytes()
+            + self.weights.astype("<f8").tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "TDigest":
+        head = np.frombuffer(buf[:16], dtype="<u4")
+        if head[0] != cls._MAGIC or head[1] != 1:
+            raise ValueError("bad tdigest image")
+        td = cls(k=int(head[2]))
+        n = int(head[3])
+        mm = np.frombuffer(buf[16:32], dtype="<f8")
+        td.min, td.max = float(mm[0]), float(mm[1])
+        off = 32
+        td.means = np.frombuffer(buf[off:off + 8 * n], dtype="<f8").copy()
+        off += 8 * n
+        td.weights = np.frombuffer(buf[off:off + 8 * n], dtype="<f8").copy()
+        return td
