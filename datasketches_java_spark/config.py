@@ -57,10 +57,11 @@ class DedupConfig:
     phash_bands: int = 4
     # multi-index hashing for the image channel (Norouzi et al. 2012):
     # per 16-bit block, emit the block value AND its 16 one-bit flips
-    # as extra band keys — any pair whose min per-block Hamming is <= 1
-    # (pigeonhole: every total-Hamming <= 7 pattern) is GUARANTEED a
-    # candidate, extending the block-pair guarantee (<= 2-of-4-block
-    # error patterns). Off by default: 68 extra keys/row grow the band
+    # as extra band keys — flip-meets-flip means any pair with per-block
+    # Hamming <= 2 in SOME block collides (pigeonhole: every
+    # total-Hamming <= 11 pattern is GUARANTEED a candidate, see
+    # phash_mih_keys), extending the block-pair guarantee (<= 2-of-4-
+    # block error patterns). Off by default: 68 extra keys/row grow the band
     # shuffle ~2.7x — the scale-path option for image-only dedup jobs
     # where pHash recall at Hamming 3-7 matters more than throughput.
     phash_mih: bool = False

@@ -68,7 +68,8 @@ def kll_quantile_agg(
             yield pd.DataFrame({group_col: out_g, "sketch": out_s})
 
     partials = df.select(
-        F.col(group_col), F.col(value_col).cast("double").alias(value_col)
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(value_col).cast("double").alias(value_col),
     ).mapInPandas(partial, f"{group_col} string, sketch binary")
 
     qcols = [f"q_{p}_{q}" for p, q in quantiles]

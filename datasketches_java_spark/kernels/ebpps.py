@@ -46,9 +46,18 @@ def _ebpps_threshold(weights: np.ndarray, k: float) -> tuple[float, int]:
             break
         tau = suffix[h] / (k - h)
         upper = w[h - 1] if h > 0 else np.inf
-        if upper > tau >= w[h]:
+        # non-strict boundaries: on tied weights (w[h-1] == tau) the
+        # item can sit on either side of the threshold with the same
+        # solved tau, so accepting equality keeps the invariant
+        # sum min(w_i/tau, 1) = k (a strict `upper > tau` skipped the
+        # valid h and fell through to a contract-breaking heuristic).
+        # The 1e-12 relative slack absorbs float rounding of the solve.
+        if upper >= tau * (1.0 - 1e-12) and tau >= w[h] * (1.0 - 1e-12):
             return float(tau), h
-    return float(w[h_max - 1]) if h_max > 0 else float(w[0]), max(h_max, 1)
+    raise ValueError(
+        "EBPPS threshold solve found no valid heavy count "
+        f"(n={n}, k={k}); weights may be non-finite"
+    )
 
 
 def ebpps_sample(

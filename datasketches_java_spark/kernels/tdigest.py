@@ -90,7 +90,11 @@ class TDigest:
         self.max = max(self.max, other.max)
         m = np.concatenate([self.means, other.means])
         w = np.concatenate([self.weights, other.weights])
-        self.means, self.weights = _pack(m, w, min(self.k, other.k))
+        # the merged digest's effective compression is the looser of the
+        # two; keep self.k consistent so later updates/serialize don't
+        # silently revert to the original tighter packing
+        self.k = min(self.k, other.k)
+        self.means, self.weights = _pack(m, w, self.k)
         return self
 
     # --- queries ----------------------------------------------------

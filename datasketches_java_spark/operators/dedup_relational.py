@@ -49,8 +49,18 @@ def ssjoin_jaccard_pairs(
 
     Everything stays JVM-side (substring/xxhash64/window), no Python.
     Output: (id_a, id_b, intersect_ct, union_ct, jaccard_exact).
+
+    EAGER-EXECUTION CONTRACT: this operator runs Spark jobs at
+    plan-construction time (postings stats + the bitmap collect when
+    the broadcast plan is chosen) and leaves the postings frame
+    persisted + the bitmap broadcast alive for the returned DataFrame
+    to consume. A new call releases the previous call's cache
+    automatically; `release_ssjoin_cache()` releases it explicitly
+    once the result has been materialized.
     """
     from ..operators.rescore import exact_rescore_pairs
+
+    release_ssjoin_cache()
 
     t = threshold
     text = F.col(text_col)
@@ -116,6 +126,7 @@ def ssjoin_jaccard_pairs(
     #    exceed the broadcast budget): exact_rescore_pairs re-shingles
     #    the texts per pair (operators/rescore.py) — O(pairs) rows
     #    moved, scales to corpora whose docs can't sit on the driver.
+    _CACHE.append(sh)
     bm = _collect_doc_bitmaps(sh)
     if bm is not None:
         return _verify_pairs_bitmap(cand, bm, t, id_type)
@@ -126,6 +137,27 @@ def ssjoin_jaccard_pairs(
 
 
 _BITMAP_BUDGET_BYTES = 256 << 20  # broadcast cap for the bitset matrix
+_PULL_BUDGET_BYTES = 512 << 20    # driver heap cap for the postings pull
+
+# persisted frames / broadcasts owned by the most recent ssjoin call
+# (eager-execution contract — see ssjoin_jaccard_pairs docstring)
+_CACHE: list = []
+
+
+def release_ssjoin_cache() -> None:
+    """Unpersist the postings frame and destroy the bitmap broadcast
+    left alive by the last `ssjoin_jaccard_pairs` call. Safe to call
+    any time; the returned DataFrame recomputes (uncached) if executed
+    after release."""
+    while _CACHE:
+        h = _CACHE.pop()
+        try:
+            if isinstance(h, DataFrame):
+                h.unpersist()
+            else:
+                h.destroy()
+        except Exception:
+            pass  # session already stopped
 
 
 def _collect_doc_bitmaps(sh: DataFrame):
@@ -135,13 +167,23 @@ def _collect_doc_bitmaps(sh: DataFrame):
         F.countDistinct("id").alias("docs"),
         F.countDistinct("sh").alias("dict"),
         F.count("*").alias("postings"),
+        F.avg(F.length(F.col("id").cast("string"))).alias("id_width"),
     ).collect()[0]
     n_docs, n_dict, n_post = stats["docs"], stats["dict"], stats["postings"]
     if not n_docs:
         return None
-    # budget check BEFORE any collect: bitset matrix size and the raw
-    # postings that must reach the driver
-    if n_docs * ((n_dict + 63) // 64) * 8 > _BITMAP_BUDGET_BYTES or n_post > 50_000_000:
+    # budget checks BEFORE any collect: (a) bitset matrix size, (b) the
+    # raw postings bytes that must reach the driver — estimated as
+    # rows x (8B hash + id width + ~48B pandas object overhead for
+    # string ids), so wide string ids lower the admissible row count
+    # instead of OOMing the driver just under a row-count-only guard
+    id_bytes = 8 if dict(sh.dtypes)["id"] == "bigint" else (
+        float(stats["id_width"] or 8) + 48
+    )
+    if (
+        n_docs * ((n_dict + 63) // 64) * 8 > _BITMAP_BUDGET_BYTES
+        or n_post * (8 + id_bytes) > _PULL_BUDGET_BYTES
+    ):
         return None
     pdf = sh.toPandas()
     ids = pdf["id"].to_numpy()
@@ -173,6 +215,7 @@ def _verify_pairs_bitmap(cand: DataFrame, bm, threshold: float, id_type: str) ->
     """Exact Jaccard per candidate pair from broadcast bitsets."""
     uids, B, nset = bm
     bc = cand.sparkSession.sparkContext.broadcast((uids, B, nset))
+    _CACHE.append(bc)
     schema = (
         f"id_a {id_type}, id_b {id_type}, intersect_ct bigint, "
         "union_ct bigint, jaccard_exact double"
