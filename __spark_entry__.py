@@ -204,6 +204,85 @@ def _q_tuple_text_stats(spark, sf_dir):
     )
 
 
+def _q_tdigest_caption_len_by_source(spark, sf_dir):
+    """Per-source text-length t-digest (reference D1,
+    tdigest/TDigestDouble.java:102-239): distributed partial/final
+    digest merge, emitting exact min/max (every regime) and the
+    doubled median med2 (exact while centroids stay singletons — the
+    K_2 packing bound stays < 2 for group n ≤ ~650 at k=1000, so the
+    gate tier is the digest's exact regime; lossy-regime accuracy is
+    pytest-gated in tests/test_tdigest.py)."""
+    from datasketches_java_spark.functions.tdigest_agg import tdigest_median_agg
+
+    return tdigest_median_agg(
+        _docs(spark, sf_dir).select("source", F.length("text").alias("len")),
+        "source", "len", k=1000,
+    )
+
+
+def _q_ebpps_source_sample(spark, sf_dir):
+    """Per-source EBPPS weighted sample (reference S3,
+    sampling/EbppsItemsSketch.java:53-397): budget k ≥ every group size
+    at this tier, so the sample IS the whole group with tau = 0 — the
+    deterministic exact regime (oracle = plain SELECT); sub-budget
+    inclusion proportionality is pytest-gated (tests/test_ebpps.py)."""
+    from datasketches_java_spark.functions.sketch_udfs import ebpps_sample_agg
+
+    return ebpps_sample_agg(
+        _docs(spark, sf_dir).select(
+            "source", "doc_id", F.length("text").cast("double").alias("w")
+        ),
+        "source", "doc_id", "w", k=1_000_000.0,
+    ).select(
+        "source", "doc_id",
+        F.col("weight").cast("bigint").alias("weight"),
+        F.col("tau").cast("bigint").alias("tau"),
+    )
+
+
+def _q_theta_user_overlap(spark, sf_dir):
+    """Theta intersection / A-not-B between per-event-type user sets
+    (reference T4/T5: theta/ThetaIntersectionImpl.java:442-480,
+    theta/ThetaAnotBimpl.java:83-98): high-value users shared between
+    event types and exclusive to each. Exact regime (distinct users
+    << k=4096 ⇒ θ=1, retained = exact set cardinality); θ<1 estimation
+    semantics are pytest-gated (tests/test_kernels.py)."""
+    from datasketches_java_spark.functions.sketch_udfs import (
+        kmv_sketch_bytes_agg, theta_pair_set_ops,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    d = (
+        ev.filter(F.col("value") > 90)
+        .select("event_type", F.col("user_id").cast("string").alias("uid"))
+        .distinct()
+    )
+    sk = kmv_sketch_bytes_agg(d, "event_type", "uid", k=4096)
+    return theta_pair_set_ops(sk, "event_type").select(
+        F.col("group_a").alias("type_a"),
+        F.col("group_b").alias("type_b"),
+        "n_common", "n_a_only", "n_b_only",
+    )
+
+
+def _q_ks_caption_len_sources(spark, sf_dir):
+    """Pairwise two-sample KS D-statistic between per-source text-length
+    distributions through KLL sketches (reference X5,
+    quantilescommon/KolmogorovSmirnov.java:47): exact rational
+    D = d_num/d_den in the sketches' exact regime (n ≤ k ⇒ no
+    compaction ⇒ retained CDF = true CDF); the lossy-regime
+    reject-threshold test is pytest-gated (tests/test_freq_ks.py)."""
+    from datasketches_java_spark.functions.kll_agg import (
+        kll_sketch_agg, ks_pairwise,
+    )
+
+    sk = kll_sketch_agg(
+        _docs(spark, sf_dir).select("source", F.length("text").alias("len")),
+        "source", "len", k=4096,
+    )
+    return ks_pairwise(sk, "source")
+
+
 def _q_psample_docs(spark, sf_dir):
     """Deterministic p-sampling front-end (reference T9: initial θ =
     p·2^63 — here a hash-threshold filter, the relational equivalent)."""
@@ -430,6 +509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_frequent_tokens": _q_mg_frequent_tokens,
         "kll_caption_len_by_source": _q_kll_caption_len_by_source,
         "tuple_text_stats_by_source": _q_tuple_text_stats,
+        "tdigest_caption_len_by_source": _q_tdigest_caption_len_by_source,
+        "ebpps_source_sample": _q_ebpps_source_sample,
+        "theta_user_overlap": _q_theta_user_overlap,
+        "ks_caption_len_sources": _q_ks_caption_len_sources,
         "psample_docs": _q_psample_docs,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "kmv_distinct_by_source": _q_kmv_distinct_by_source,
@@ -709,6 +792,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "tdigest_caption_len_by_source": """
+            -- t-digest exact regime (singleton centroids): med2 =
+            -- v_ceil((n+1)/2) + v_floor((n+1)/2) by position; min/max
+            -- exact in every regime
+            WITH w AS (
+              SELECT source,
+                     CAST(length(text) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY source
+                          ORDER BY length(text)) AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT source,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(v) FILTER (WHERE 2*pos >= n)
+                      + min(v) FILTER (WHERE 2*pos >= n + 1) AS BIGINT) AS med2,
+                   CAST(min(v) AS BIGINT) AS min_v,
+                   CAST(max(v) AS BIGINT) AS max_v
+            FROM w GROUP BY source
+        """,
+        "ebpps_source_sample": """
+            -- EBPPS exact regime: budget k >= group size => the sample
+            -- is the whole group, tau = 0
+            SELECT source, CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS weight,
+                   CAST(0 AS BIGINT) AS tau
+            FROM documents
+        """,
+        "theta_user_overlap": """
+            -- Theta intersect/A-not-B exact regime (theta = 1,
+            -- distinct < k): retained counts = exact set algebra
+            WITH d AS (
+              SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+              FROM events WHERE value > 90
+            ), n AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY event_type
+            ), i AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                     CAST(count(*) AS BIGINT) AS ni
+              FROM d a JOIN d b ON a.u = b.u AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT na.event_type AS type_a, nb.event_type AS type_b,
+                   CAST(coalesce(i.ni, 0) AS BIGINT) AS n_common,
+                   CAST(na.n - coalesce(i.ni, 0) AS BIGINT) AS n_a_only,
+                   CAST(nb.n - coalesce(i.ni, 0) AS BIGINT) AS n_b_only
+            FROM n na
+            JOIN n nb ON na.event_type < nb.event_type
+            LEFT JOIN i ON i.ta = na.event_type AND i.tb = nb.event_type
+        """,
+        "ks_caption_len_sources": """
+            -- exact-regime two-sample KS as a rational: D = d_num/d_den,
+            -- cum = inclusive CDF counts, den = n_a*n_b. Step functions
+            -- only change at union support points, so the max over the
+            -- global distinct-value grid equals the true sup.
+            WITH x AS (
+              SELECT source AS s, CAST(length(text) AS BIGINT) AS v
+              FROM documents
+            ), n AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY s
+            ), vals AS (
+              SELECT DISTINCT v FROM x
+            ), c AS (
+              SELECT x.s, vv.v, CAST(count(*) AS BIGINT) AS cum
+              FROM vals vv JOIN x ON x.v <= vv.v
+              GROUP BY x.s, vv.v
+            ), grid AS (
+              SELECT n.s, n.n, vals.v FROM n CROSS JOIN vals
+            ), cc AS (
+              SELECT grid.s, grid.n, grid.v, coalesce(c.cum, 0) AS cum
+              FROM grid LEFT JOIN c ON c.s = grid.s AND c.v = grid.v
+            )
+            SELECT a.s AS source_a, b.s AS source_b,
+                   CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS d_num,
+                   CAST(max(a.n * b.n) AS BIGINT) AS d_den
+            FROM cc a JOIN cc b ON a.v = b.v AND a.s < b.s
+            GROUP BY 1, 2
         """,
         "kll_caption_len_by_source": """
             -- discrete inclusive quantile, integer rank fractions:

@@ -42,6 +42,46 @@ def _quantile_frac(sk: KllDoubles, p: int, q: int) -> float:
     return float(it[min(idx, len(it) - 1)])
 
 
+def kll_sketch_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = DEFAULT_K,
+    seed: int = 9001,
+) -> DataFrame:
+    """Per-group serialized KLL sketch (group, sketch binary) — the
+    mergeable partial-aggregate form (kll/KllDoublesSketch.java
+    toByteArray), for operators that consume sketch state directly
+    (KS drift tests, cross-window comparisons) rather than quantiles."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_g, out_s = [], []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                sk = KllDoubles(k=k, seed=seed)
+                sk.update_many(sub[value_col].to_numpy(np.float64))
+                out_g.append(g)
+                out_s.append(sk.serialize())
+            yield pd.DataFrame({group_col: out_g, "sketch": out_s})
+
+    partials = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(value_col).cast("double").alias(value_col),
+    ).mapInPandas(partial, f"{group_col} string, sketch binary")
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KllDoubles.deserialize(pdf["sketch"].iloc[0], seed=seed)
+        for b in pdf["sketch"].iloc[1:]:
+            sk.merge(KllDoubles.deserialize(b, seed=seed))
+        return pd.DataFrame({group_col: [key[0]], "sketch": [sk.serialize()]})
+
+    return partials.groupBy(group_col).applyInPandas(
+        final, f"{group_col} string, sketch binary"
+    )
+
+
 def kll_quantile_agg(
     df: DataFrame,
     group_col: str,
@@ -87,3 +127,54 @@ def kll_quantile_agg(
         f"{c} double" for c in qcols
     )
     return partials.groupBy(group_col).applyInPandas(final, schema)
+
+
+def ks_pairwise(sketches: DataFrame, group_col: str = "group",
+                sketch_col: str = "sketch", seed: int = 9001) -> DataFrame:
+    """All-pairs two-sample Kolmogorov-Smirnov D over per-group KLL
+    sketches (reference X5, quantilescommon/KolmogorovSmirnov.java:47
+    computeKSDelta) as an EXACT RATIONAL: one row per unordered pair
+    a<b with D = d_num/d_den, d_den = n_a·n_b (kernels/ks.py
+    ks_delta_rational). Integer outputs ⇒ SQL-oracle-able in the
+    sketches' exact regime (gate query ks_caption_len_sources); the
+    reject-threshold test over lossy sketches is kernels/ks.ks_test,
+    pytest-gated (tests/test_freq_ks.py).
+
+    Pair join = crossJoin of G-row sketch frames (broadcast right
+    side): O(G²) pairs of O(k) state — sketches travel, never data."""
+    from ..kernels.ks import ks_delta_rational
+
+    a = sketches.select(
+        F.col(group_col).alias("source_a"), F.col(sketch_col).alias("sk_a")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("source_b"), F.col(sketch_col).alias("sk_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nums, dens = [], []
+            for ba, bb in zip(pdf["sk_a"], pdf["sk_b"]):
+                num, den = ks_delta_rational(
+                    KllDoubles.deserialize(bytes(ba), seed=seed),
+                    KllDoubles.deserialize(bytes(bb), seed=seed),
+                )
+                nums.append(num)
+                dens.append(den)
+            yield pd.DataFrame(
+                {
+                    "source_a": pdf["source_a"],
+                    "source_b": pdf["source_b"],
+                    "d_num": np.asarray(nums, np.int64),
+                    "d_den": np.asarray(dens, np.int64),
+                }
+            )
+
+    return pairs.mapInPandas(
+        gen, "source_a string, source_b string, d_num bigint, d_den bigint"
+    )

@@ -252,3 +252,109 @@ def varopt_sample_agg(
         )
 
     return partials.groupBy(group_col).applyInPandas(final, schema)
+
+
+def ebpps_sample_agg(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    weight_col: str,
+    k: float = 64.0,
+    seed: int = 9001,
+) -> DataFrame:
+    """Per-group EBPPS sample (reference S3,
+    sampling/EbppsItemsSketch.java:53-397 via kernels/ebpps.py): every
+    item included with probability exactly min(1, w/tau), realized size
+    floor(C)/ceil(C) with C = min(k, n). Output: (group, item, weight,
+    tau) — tau = 0 means the whole group fit the budget (k >= n), the
+    deterministic exact regime the gate query runs in; sub-budget
+    proportionality is pytest-gated (tests/test_ebpps.py).
+
+    Single-level per-group aggregation (applyInPandas streams each
+    group); the merge-by-resample contract for a two-level form is the
+    kernel's, exercised in tests."""
+    from ..kernels.ebpps import ebpps_sample
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        items = pdf[item_col].astype(str).to_numpy()
+        w = pdf[weight_col].to_numpy(np.float64)
+        idx = np.arange(len(items))
+        sel, tau = ebpps_sample(idx, w, float(k), seed=seed)
+        return pd.DataFrame(
+            {
+                group_col: key[0],
+                item_col: items[sel],
+                "weight": w[sel],
+                "tau": tau,
+            }
+        )
+
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(item_col),
+            F.col(weight_col),
+        )
+        .groupBy(group_col)
+        .applyInPandas(
+            agg,
+            f"{group_col} string, {item_col} string, weight double, tau double",
+        )
+    )
+
+
+def theta_pair_set_ops(
+    sketches: DataFrame, group_col: str = "group", sketch_col: str = "sketch"
+) -> DataFrame:
+    """All-pairs Theta set algebra over per-group serialized KMV
+    sketches (reference T4/T5: theta/ThetaIntersectionImpl.java:442-480
+    intersection θ-rule, theta/ThetaAnotBimpl.java:83-98 A-not-B;
+    corner cases thetacommon/SetOperationCornerCases.java — both empty
+    inputs and θ<1 inputs follow the min-θ rule in kernels/kmv.py).
+
+    Input: (group, sketch) as produced by kmv_sketch_bytes_agg. Output
+    one row per unordered pair a<b: (group_a, group_b, n_common,
+    n_a_only, n_b_only) = RETAINED counts of A∩B, A\\B, B\\A under the
+    pair's min-θ. In the exact regime (θ=1, distinct < k) these are
+    the exact set cardinalities — the DuckDB INTERSECT/EXCEPT oracle
+    (gate query theta_user_overlap); in estimation mode divide by θ
+    for the estimate (pytest-gated).
+
+    The pair join is a crossJoin of two G-row sketch frames — G groups
+    of O(k) state, the already-reduced form; at any scale this is a
+    broadcast of sketches, never of data."""
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col(sketch_col).alias("sk_a")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col(sketch_col).alias("sk_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("group_a") < F.col("group_b"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_c, n_a, n_b = [], [], []
+            for ba, bb in zip(pdf["sk_a"], pdf["sk_b"]):
+                sa, ka = kmv.deserialize(bytes(ba))
+                sb, kb = kmv.deserialize(bytes(bb))
+                kk = min(ka, kb)
+                n_c.append(len(kmv.intersect(sa, sb, kk)))
+                n_a.append(len(kmv.a_not_b(sa, sb, kk)))
+                n_b.append(len(kmv.a_not_b(sb, sa, kk)))
+            yield pd.DataFrame(
+                {
+                    "group_a": pdf["group_a"],
+                    "group_b": pdf["group_b"],
+                    "n_common": np.asarray(n_c, np.int64),
+                    "n_a_only": np.asarray(n_a, np.int64),
+                    "n_b_only": np.asarray(n_b, np.int64),
+                }
+            )
+
+    return pairs.mapInPandas(
+        gen,
+        "group_a string, group_b string, n_common bigint, "
+        "n_a_only bigint, n_b_only bigint",
+    )

@@ -144,3 +144,111 @@ def test_varopt_two_level_unbiased_mega_group(spark):
     got = dict(zip(out["item"], out["adj_weight"]))
     for it in top["item"]:
         assert it in got and abs(got[it] - w_by_item[it]) < 1e-9
+
+
+# ---- round-4 agg faces: t-digest, EBPPS, theta set ops, KS --------------
+
+
+def test_tdigest_agg_exact_regime_and_minmax(spark):
+    import numpy as np
+    import pandas as pd
+    from datasketches_java_spark.functions.tdigest_agg import tdigest_median_agg
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, n in (("a", 25), ("b", 100), ("c", 1)):
+        for v in rng.integers(10, 5000, n):
+            rows.append((g, int(v)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+    out = {r["g"]: r for r in tdigest_median_agg(df, "g", "v", k=1000).collect()}
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    for g, sub in pdf.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        n = len(v)
+        med2 = int(v[(n - 1) // 2] + v[n // 2])
+        assert out[g]["n"] == n
+        assert out[g]["med2"] == med2, (g, out[g]["med2"], med2)
+        assert out[g]["min_v"] == int(v[0]) and out[g]["max_v"] == int(v[-1])
+
+
+def test_tdigest_agg_lossy_minmax_still_exact(spark):
+    import numpy as np
+    import pandas as pd
+    from datasketches_java_spark.functions.tdigest_agg import tdigest_median_agg
+
+    rng = np.random.default_rng(8)
+    v = rng.normal(1000, 300, 20000).astype(int)
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": "x", "v": v})
+    ).repartition(8)
+    row = tdigest_median_agg(df, "g", "v", k=100).collect()[0]
+    assert row["n"] == len(v)
+    assert row["min_v"] == int(v.min()) and row["max_v"] == int(v.max())
+    # lossy-regime median within the merging-t-digest accuracy envelope
+    true_med = float(np.median(v))
+    assert abs(row["med2"] / 2.0 - true_med) <= 0.02 * abs(true_med) + 2
+
+
+def test_ebpps_agg_full_budget_and_sub_budget(spark):
+    import numpy as np
+    import pandas as pd
+    from datasketches_java_spark.functions.sketch_udfs import ebpps_sample_agg
+
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 50 + ["b"] * 10,
+         "item": [str(i) for i in range(60)],
+         "w": np.arange(1.0, 61.0)}
+    )
+    df = spark.createDataFrame(pdf)
+    # k >= n: whole set back, tau = 0
+    full = ebpps_sample_agg(df, "g", "item", "w", k=100.0).toPandas()
+    assert len(full) == 60 and (full["tau"] == 0.0).all()
+    # sub-budget: realized size floor(k) or ceil(k) per group
+    samp = ebpps_sample_agg(df, "g", "item", "w", k=7.0).toPandas()
+    sizes = samp.groupby("g").size()
+    assert sizes["a"] in (7, 8)
+    assert sizes["b"] in (7, 8)  # k=7 < n=10: sub-budget here too
+
+
+def test_theta_pair_set_ops_exact(spark):
+    import pandas as pd
+    from datasketches_java_spark.functions.sketch_udfs import (
+        kmv_sketch_bytes_agg, theta_pair_set_ops,
+    )
+
+    rows = [("a", f"u{i}") for i in range(40)] + \
+           [("b", f"u{i}") for i in range(25, 70)] + \
+           [("c", f"u{i}") for i in range(100, 110)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "u"]))
+    sk = kmv_sketch_bytes_agg(df, "g", "u", k=512)
+    out = {(r["group_a"], r["group_b"]): r
+           for r in theta_pair_set_ops(sk, "g").collect()}
+    ab = out[("a", "b")]
+    assert (ab["n_common"], ab["n_a_only"], ab["n_b_only"]) == (15, 25, 30)
+    ac = out[("a", "c")]
+    assert (ac["n_common"], ac["n_a_only"], ac["n_b_only"]) == (0, 40, 10)
+    assert len(out) == 3
+
+
+def test_ks_pairwise_matches_exact_d(spark):
+    import numpy as np
+    import pandas as pd
+    from datasketches_java_spark.functions.kll_agg import (
+        kll_sketch_agg, ks_pairwise,
+    )
+
+    rng = np.random.default_rng(9)
+    va = rng.integers(0, 100, 200)
+    vb = rng.integers(20, 140, 300)
+    pdf = pd.DataFrame(
+        {"g": ["a"] * len(va) + ["b"] * len(vb),
+         "v": np.concatenate([va, vb])}
+    )
+    sk = kll_sketch_agg(spark.createDataFrame(pdf), "g", "v", k=1024)
+    row = ks_pairwise(sk, "g").collect()[0]
+    # exact two-sample D from numpy
+    pts = np.unique(np.concatenate([va, vb]))
+    ca = np.searchsorted(np.sort(va), pts, side="right")
+    cb = np.searchsorted(np.sort(vb), pts, side="right")
+    num = int(np.abs(ca * len(vb) - cb * len(va)).max())
+    assert (row["d_num"], row["d_den"]) == (num, len(va) * len(vb))
