@@ -406,6 +406,39 @@ def _q_embedding_topk_lsh(spark, sf_dir):
     return lsh_topk_cosine(emb, "vec_id", "embedding", 5, n_planes=6, n_tables=8)
 
 
+def _q_embedding_topk_lsh_recall(spark, sf_dir):
+    """Oracle-checked recall gate for the ANN lane (round-3 verdict #3):
+    every exact cosine top-5 pair must be recovered by the bucketed SRP
+    multi-table search. Gate config planes=1, tables=16: the fixture
+    embeddings are UNSTRUCTURED random vectors (worst top-5 cosine
+    0.242 ⇒ single-plane collision prob 0.578), so full recall needs
+    per-pair miss prob 0.422^16 ≈ 1e-6 — at this tier that means near-
+    exhaustive candidates, which is a property of the fixture, not the
+    operator; the gate's job is to hash-pin the MACHINERY (bucket
+    hashing, ids-only band join, pair dedup, vector re-join, scoring,
+    ranking) so any regression mismatches. The recall/compute tradeoff
+    at production configs stays pytest-gated (tests/test_operators.py).
+    Output: one row (n_expected, n_hit); the oracle derives n_expected
+    from the exact top-5 SQL and asserts n_hit equals it."""
+    from datasketches_java_spark.operators.similarity import (
+        brute_force_topk_cosine_q, lsh_topk_cosine,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = brute_force_topk_cosine_q(emb, "vec_id", "embedding", 5).select(
+        "vec_id", "neighbor_id"
+    )
+    lsh = (
+        lsh_topk_cosine(emb, "vec_id", "embedding", 5, n_planes=1, n_tables=16)
+        .select("vec_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return exact.join(lsh, ["vec_id", "neighbor_id"], "left").agg(
+        F.count("*").alias("n_expected"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+    )
+
+
 def _corpus_result(spark, sf_dir):
     from datasketches_java_spark.plans.pipeline import run_pipeline_cached
     from datasketches_java_spark.sources import tables
@@ -520,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_customer_orders": _q_bloom_customer_orders,
         "countmin_tokens": _q_countmin_tokens,
         "fdt_lang_source": _q_fdt_lang_source,
+        "embedding_topk_lsh_recall": _q_embedding_topk_lsh_recall,
         "corpus_dup_pairs": _q_corpus_dup_pairs,
         "corpus_clusters": _q_corpus_clusters,
         "corpus_cluster_audits": _q_corpus_cluster_audits,
@@ -579,19 +613,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "embedding_topk_cosine": """
+            -- integer-quantized cosine: dot and squared norms are
+            -- exact int64 over round(x*1e6) components, so
+            -- (1e9*dot)/sqrt(double(na)*double(nb)) is the same
+            -- correctly-rounded IEEE expression the Spark kernel
+            -- evaluates — no fold-order dependence
             WITH v AS (
               SELECT vec_id AS id,
-                     [CAST(x AS DOUBLE) for x in embedding] AS d
+                     [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                        for x in embedding] AS q
               FROM embeddings
+            ), nrm AS (
+              SELECT id, q,
+                     CAST(list_sum([x * x for x in q]) AS BIGINT) AS nq
+              FROM v
             ), scored AS (
               SELECT a.id AS vec_id, b.id AS neighbor_id,
-                     CAST(round(1e9 *
-                       list_reduce([a.d[i] * b.d[i]
-                           for i in generate_series(1, len(a.d))], (x, y) -> x + y)
-                       / (sqrt(list_reduce([x * x for x in a.d], (x, y) -> x + y))
-                        * sqrt(list_reduce([x * x for x in b.d], (x, y) -> x + y)))
+                     CAST(round(
+                       (1000000000.0 * CAST(list_sum([a.q[i] * b.q[i]
+                           for i in generate_series(1, len(a.q))]) AS DOUBLE))
+                       / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))
                      ) AS BIGINT) AS cos_q
-              FROM v a, v b WHERE a.id != b.id
+              FROM nrm a, nrm b WHERE a.id != b.id
             )
             SELECT vec_id, neighbor_id, cos_q,
                    CAST(row_number() OVER (PARTITION BY vec_id
@@ -614,6 +657,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang, source
+        """,
+        "embedding_topk_lsh_recall": """
+            -- the ANN lane's recall contract: n_hit == n_expected,
+            -- where n_expected = exact cosine top-5 pair count (same
+            -- CTE as embedding_topk_cosine). The oracle asserts full
+            -- recall; a Spark-side miss hash-mismatches the gate.
+            WITH v AS (
+              SELECT vec_id AS id,
+                     [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                        for x in embedding] AS q
+              FROM embeddings
+            ), nrm AS (
+              SELECT id, q,
+                     CAST(list_sum([x * x for x in q]) AS BIGINT) AS nq
+              FROM v
+            ), scored AS (
+              SELECT a.id AS vec_id, b.id AS neighbor_id,
+                     CAST(round(
+                       (1000000000.0 * CAST(list_sum([a.q[i] * b.q[i]
+                           for i in generate_series(1, len(a.q))]) AS DOUBLE))
+                       / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))
+                     ) AS BIGINT) AS cos_q
+              FROM nrm a, nrm b WHERE a.id != b.id
+            ), topk AS (
+              SELECT vec_id, neighbor_id,
+                     row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos_q DESC, neighbor_id ASC) AS rank
+              FROM scored QUALIFY rank <= 5
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_expected,
+                   CAST(count(*) AS BIGINT) AS n_hit
+            FROM topk
         """,
         "corpus_dup_pairs": f"""
             SELECT id_a, id_b, jaccard_exact

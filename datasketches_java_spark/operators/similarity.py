@@ -5,20 +5,34 @@
    the DuckDB oracle matches bit-for-bit (float dot products diverge
    across engines in the last ulp and flip rankings).
  - brute_force_topk_cosine: float cosine variant (rows-only check).
+ - brute_force_topk_cosine_q: oracle-exact integer-quantized cosine.
  - lsh_topk_cosine: the scale path — sign-random-projection bucketing
    (SimHash over vector components) so each query only scores its
    bucket; brute force within bucket. Approximate by design.
 
-All math stays in Spark built-ins (aggregate/zip_with — JVM codegen),
-no Python in the scoring loop.
+Exact top-k execution (round 4): when the embedding matrix fits the
+broadcast budget, ONE scan of the table scores each Arrow batch
+against the broadcast matrix with an int64 matmul and emits its top-k
+directly — no crossJoin, no O(n²) shuffle, no window. b×n score tiles
+never materialize outside a worker. Over budget, the plan falls back
+to the crossJoin+window form (the all-pairs shuffle IS the exact
+semantics at that point; the scale lane is lsh_topk_cosine). This is
+the classic broadcast-side/stream-side split: the probe set is the
+small side, the corpus streams.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT = 1_000_000
+COS_QUANT = 1_000_000_000
+
+# broadcast cap for the (ids, matrix) pair in the matmul plan
+_MATRIX_BUDGET_BYTES = 256 << 20
 
 
 def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -39,10 +53,105 @@ def _dot(a, b):
     )
 
 
+def _matrix_fits(df: DataFrame, id_col: str, vec_col: str) -> bool:
+    if dict(df.dtypes)[id_col] not in ("bigint", "int"):
+        return False  # matmul path packs ids as int64
+    row = df.select(
+        F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
+    ).collect()[0]
+    n, d = row["n"] or 0, row["d"] or 0
+    return 0 < n * d * 8 + n * 8 <= _MATRIX_BUDGET_BYTES
+
+
+def _collect_quantized(df: DataFrame, id_col: str, vec_col: str):
+    """(ids sorted asc, int64 matrix) for the broadcast side."""
+    pdf = _quantized(df, id_col, vec_col).toPandas()
+    ids = pdf["id"].to_numpy(np.int64)
+    M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], M[order]
+
+
+def _topk_scored_batches(bc, topk: int, score_fn, id_dtype):
+    """mapInPandas generator: score each query batch against the
+    broadcast matrix, emit per-query top-k. Ties break on neighbor_id
+    ascending: the broadcast ids are pre-sorted ascending and the
+    argsort on negated scores is stable."""
+
+    def gen(batches):
+        ids_b, M = bc.value
+        n = len(ids_b)
+        k = min(topk, n - 1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qid = pdf["id"].to_numpy(np.int64)
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            S = score_fn(Q, M)  # (b, n)
+            pos = np.searchsorted(ids_b, qid)
+            # mask self with min+1: np.argsort(-S) negates, and
+            # -int64.min overflows back to int64.min (sorting the
+            # masked self FIRST instead of last); min+1 negates cleanly
+            S[np.arange(len(qid)), pos] = np.iinfo(np.int64).min + 1
+            order = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            rows = np.repeat(np.arange(len(qid)), k)
+            yield pd.DataFrame(
+                {
+                    "vec_id": qid.repeat(k).astype(id_dtype),
+                    "neighbor_id": ids_b[order.ravel()].astype(id_dtype),
+                    "score": S[rows, order.ravel()],
+                    "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), len(qid)),
+                }
+            )
+
+    return gen
+
+
+def _topk_broadcast(
+    df: DataFrame, id_col: str, vec_col: str, topk: int, score_fn, score_name: str
+) -> DataFrame:
+    ids, M = _collect_quantized(df, id_col, vec_col)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, M))
+    id_type = dict(df.dtypes)[id_col]
+    q = _quantized(df, id_col, vec_col)
+    par = sc.defaultParallelism
+    out = q.repartition(par).mapInPandas(
+        _topk_scored_batches(bc, topk, score_fn, np.int64),
+        f"vec_id {id_type}, neighbor_id {id_type}, score bigint, rank int",
+    )
+    return out.withColumnRenamed("score", score_name)
+
+
+def _ip_scores(Q: np.ndarray, M: np.ndarray) -> np.ndarray:
+    return Q @ M.T
+
+
+def _cos_q_scores(Q: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """round(1e9·cos) from exact integer dot/norms: dot_q, na_q, nb_q
+    are exact int64 (quantized components ≤ 1e6, d ≤ 8192 keeps the
+    squared sums < 2^53), so `1e9·dot/sqrt(double(na)·double(nb))` is
+    the same correctly-rounded IEEE expression the SQL oracle
+    evaluates — engine-independent to the bit. Half-up rounding
+    (floor(x+0.5)) matches Spark/DuckDB ROUND for doubles."""
+    dot = (Q @ M.T).astype(np.float64)
+    nq = (Q.astype(np.float64) ** 2).sum(axis=1)
+    nm = (M.astype(np.float64) ** 2).sum(axis=1)
+    c = COS_QUANT * dot / np.sqrt(nq[:, None] * nm[None, :])
+    return np.floor(c + 0.5).astype(np.int64)
+
+
 def brute_force_topk_ip(
     df: DataFrame, id_col: str, vec_col: str, topk: int = 5
 ) -> DataFrame:
-    """(vec_id, neighbor_id, dot_q, rank) — exact integer MIPS top-k."""
+    """(vec_id, neighbor_id, dot_q, rank) — exact integer MIPS top-k.
+
+    Broadcast-matmul plan when the matrix fits (one scan, no shuffle);
+    crossJoin+window fallback above the budget. EAGER: the plan choice
+    runs a count at construction time."""
+    if _matrix_fits(df, id_col, vec_col):
+        return _topk_broadcast(df, id_col, vec_col, topk, _ip_scores, "dot_q") \
+            .select("vec_id", "neighbor_id", "dot_q", "rank")
     qa = _quantized(df, id_col, vec_col).select(
         F.col("id").alias("vec_id"), F.col("q").alias("qa")
     )
@@ -106,22 +215,36 @@ def brute_force_topk_cosine(
 def brute_force_topk_cosine_q(
     df: DataFrame, id_col: str, vec_col: str, topk: int = 5
 ) -> DataFrame:
-    """Oracle-exact cosine top-k: the score is round(cosine·1e9) as a
-    bigint. dot and norms are LEFT FOLDS over the components
-    (F.aggregate), so an engine that folds in the same order (DuckDB
-    list_reduce) reproduces the double bit-for-bit; quantizing to 1e-9
-    absorbs any residual last-ulp daylight, and ties break on
-    neighbor_id. Same crossJoin-exact-baseline role as
-    brute_force_topk_ip."""
-    a = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    """Oracle-exact cosine top-k: score = round(1e9·cos) over
+    1e6-quantized components. dot and squared norms are exact integers,
+    so `1e9·dot/sqrt(CAST(na AS DOUBLE)·nb)` is the identical IEEE
+    expression on both engines — no fold-order dependence at all
+    (tightened from the round-3 left-fold formulation). Ties break on
+    neighbor_id. Broadcast-matmul plan under the budget, crossJoin
+    fallback above it."""
+    if _matrix_fits(df, id_col, vec_col):
+        return _topk_broadcast(
+            df, id_col, vec_col, topk, _cos_q_scores, "cos_q"
+        ).select("vec_id", "neighbor_id", "cos_q", "rank")
+    qa = _quantized(df, id_col, vec_col).select(
+        F.col("id").alias("vec_id"), F.col("q").alias("qa")
+    )
+    qb = _quantized(df, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("q").alias("qb")
+    )
+    nq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    ).cast("double")
     scored = (
-        a.crossJoin(b)
+        qa.crossJoin(qb)
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id",
             "neighbor_id",
-            F.round(_cosine(F.col("va"), F.col("vb")) * 1e9).cast("bigint").alias("cos_q"),
+            F.round(
+                F.lit(float(COS_QUANT)) * _dot(F.col("qa"), F.col("qb")).cast("double")
+                / F.sqrt(nq(F.col("qa")) * nq(F.col("qb")))
+            ).cast("bigint").alias("cos_q"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -134,11 +257,54 @@ def brute_force_topk_cosine_q(
     )
 
 
+def _srp_planes(d: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane tensor (d, n_tables·n_planes) from
+    mix64 over (component, table, plane) indices — every executor
+    derives the identical planes from the seed alone, nothing is
+    shipped (Charikar SimHash over vector components, the same
+    hashed-sign construction kernels/simhash.py uses for tokens)."""
+    from ..kernels.hashing import mix64, seed_mix
+
+    idx = (
+        np.arange(d, dtype=np.uint64)[:, None]
+        + (np.arange(n_tables * n_planes, dtype=np.uint64)[None, :] << np.uint64(20))
+    )
+    h = mix64(idx.ravel() ^ seed_mix(seed)).reshape(d, n_tables * n_planes)
+    return np.where((h & np.uint64(1)).astype(bool), 1.0, -1.0)
+
+
+def srp_buckets_array(vec_col, n_planes: int, n_tables: int, seed: int):
+    """array<bigint> of per-table SRP bucket ids, computed as ONE
+    NumPy matmul per Arrow batch: S = V·W (b×d @ d×(T·P)), bit =
+    S > 0, bucket_t = packed P bits. Replaces the per-row JVM fold
+    expression (48 aggregate-over-d folds/row measured ~1.3 ms/row at
+    d=64 — the explode stage's entire cost); the matmul form is
+    ~1000× cheaper and scales with Arrow batch size."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        W = _srp_planes(V.shape[1], n_planes, n_tables, seed)
+        bits = (V @ W) > 0  # (b, T*P)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        B = (
+            bits.reshape(len(V), n_tables, n_planes) * weights[None, None, :]
+        ).sum(axis=2)
+        return pd.Series(list(B))
+
+    return _buckets(vec_col)
+
+
 def srp_bucket(vec, n_planes: int = 16, seed: int = 9001):
-    """Sign-random-projection bucket id via per-component hashed signs:
+    """Single-table SRP bucket id as a pure column expression:
     bit_j = sign(sum_i h(i,j)·v_i) with h(i,j) = xxhash64(i,j,seed)
     mapped to ±1 — Charikar hyperplanes without shipping a plane
-    matrix (pure built-ins, deterministic across executors)."""
+    matrix (pure built-ins, deterministic across executors). Kept for
+    SQL-only contexts; the hot path uses srp_buckets_array (vectorized
+    Arrow batches)."""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     bits = []
     for j in range(n_planes):
@@ -170,28 +336,39 @@ def lsh_topk_cosine(
     candidates. Recall for a neighbor at collision prob p per table is
     1-(1-p)^L — the classic LSH recall/compute dial (MMDS ch.3). Turns
     the O(n²) cross join into per-bucket joins.
+
+    IDS-ONLY EXCHANGE (round 4): the ×L explode, the band self-join,
+    and the pair dedup move only (id, table_idx, bucket) int64 triples
+    — vector payload never rides the multi-table fan-out. Vectors join
+    back exactly once per side onto the DEDUPED candidate pairs for
+    scoring (the same two-join pattern the signature verify stage
+    uses). At 100×-scale embedding tables this is the difference
+    between shuffling ids and shuffling the corpus.
     """
-    buckets = F.array(*[
-        srp_bucket(F.col(vec_col), n_planes, seed + 101 * t) for t in range(n_tables)
-    ])
-    with_b = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.posexplode(buckets).alias("table_idx", "bucket"),
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    with_b = src.select(
+        "id",
+        F.posexplode(
+            srp_buckets_array(F.col("v"), n_planes, n_tables, seed)
+        ).alias("table_idx", "bucket"),
     )
-    a = with_b.select(
-        F.col("id").alias("vec_id"), F.col("v").alias("va"), "table_idx", "bucket"
-    )
-    b = with_b.select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), "table_idx", "bucket"
-    )
+    a = with_b.select(F.col("id").alias("vec_id"), "table_idx", "bucket")
+    b = with_b.select(F.col("id").alias("neighbor_id"), "table_idx", "bucket")
     cand = (
         a.join(b, ["table_idx", "bucket"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", "va", "vb")
+        .select("vec_id", "neighbor_id")
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "vec_id", "neighbor_id", _cosine(F.col("va"), F.col("vb")).alias("cosine")
+    va = src.select(F.col("id").alias("vec_id"), F.col("v").alias("va"))
+    vb = src.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "vec_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "vec_id", "neighbor_id",
+            _cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
