@@ -51,6 +51,31 @@ def _disable_thp() -> None:
 _disable_thp()
 
 
+def _host_state() -> dict:
+    """Snapshot of ambient host load — recorded around every measured
+    rep so a contended window is distinguishable from a regression in
+    the artifacts alone (round-3 lesson: a 2.6x-inflated local[8] leg
+    was indistinguishable from a real slowdown without this)."""
+    st = {}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        st["load1"] = float(parts[0])
+        st["runq"] = parts[3]
+    except OSError:
+        pass
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/enabled") as f:
+            st["thp"] = f.read().strip()
+    except OSError:
+        pass
+    try:
+        st["nproc"] = sum(1 for p in os.listdir("/proc") if p.isdigit())
+    except OSError:
+        pass
+    return st
+
+
 def _measure_subprocess(cores: int, n_rows: int, reps: int = 2) -> dict:
     """Best-of-`reps` warmed pipeline measurement in an isolated
     process. Interference noise in this shared sandbox is one-sided
@@ -70,6 +95,76 @@ def _measure_subprocess(cores: int, n_rows: int, reps: int = 2) -> dict:
                        f"{out.stdout[-500:]} {out.stderr[-500:]}")
 
 
+def _measure_scaling(low_cores: int, hi_cores: int, rows: int) -> tuple[dict, dict, dict]:
+    """Contention-proof two-level scaling measurement (round-3 verdict
+    item #1). Protocol:
+
+    - INTERLEAVED single-rep windows (hi, lo, hi, lo, hi, lo): three
+      independent time windows per level, each its own warmed fresh-JVM
+      subprocess, so a contended host window hits BOTH ratio legs
+      rather than silently destroying one.
+    - host-state snapshots (loadavg, run queue, THP, process count)
+      around every rep, recorded into the JSON.
+    - cross-level consistency check: with wall_lo/wall_hi legitimately
+      in ~[(hi/lo)·0.8, hi/lo]·wall_hi (efficiency 0.8..1.0), a best
+      rep >1.5× the other level's scaling-predicted wall means that
+      level's every window was contended — re-run it (up to 2 extra
+      windows) and, if still out of band, self-document the suspected
+      contamination in the output instead of publishing a silently
+      poisoned ratio.
+    """
+    ratio = hi_cores / low_cores
+    windows: dict[int, list[dict]] = {low_cores: [], hi_cores: []}
+    order = [hi_cores, low_cores, hi_cores, low_cores, hi_cores, low_cores]
+    for c in order:
+        windows[c].append(_measure_subprocess(c, rows, reps=1))
+
+    def best(c: int) -> dict:
+        return min(windows[c], key=lambda m: m["wall"])
+
+    contamination = None
+    extra = 0
+    while extra < 2:
+        blo, bhi = best(low_cores)["wall"], best(hi_cores)["wall"]
+        eff = blo / (ratio * bhi)
+        if eff < 1 / 1.5:  # hi wall >1.5x what lo's best predicts
+            windows[hi_cores].append(_measure_subprocess(hi_cores, rows, reps=1))
+            extra += 1
+        elif eff > 1.5:    # lo wall >1.5x what hi's best predicts
+            windows[low_cores].append(_measure_subprocess(low_cores, rows, reps=1))
+            extra += 1
+        else:
+            break
+    blo, bhi = best(low_cores)["wall"], best(hi_cores)["wall"]
+    eff = blo / (ratio * bhi)
+    if eff < 1 / 1.5 or eff > 1.5:
+        side = "high" if eff < 1 else "low"
+        contamination = (
+            f"best {side}-level wall is >1.5x the other level's "
+            f"scaling-predicted wall after {extra} re-runs — the "
+            f"{side} legs' windows appear host-contended (see per-rep "
+            "host snapshots); treat this efficiency as a lower bound"
+        )
+    lo, hi = best(low_cores), best(hi_cores)
+    scaling = {
+        "cores_low": low_cores,
+        "cores_high": hi_cores,
+        "scaling_rows": hi["rows"],
+        "images_per_sec_low": lo["rate"],
+        "images_per_sec_high": hi["rate"],
+        "rep_walls_low": [m["wall"] for m in windows[low_cores]],
+        "rep_walls_high": [m["wall"] for m in windows[hi_cores]],
+        "host_low": [m.get("host") for m in windows[low_cores]],
+        "host_high": [m.get("host") for m in windows[hi_cores]],
+        "protocol": "interleaved single-rep fresh-JVM windows "
+                    "(hi,lo,hi,lo,hi,lo) + cross-level 1.5x consistency "
+                    "re-runs",
+        "efficiency": round((hi["rate"] / lo["rate"]) / ratio, 4),
+        "contamination": contamination,
+    }
+    return lo, hi, scaling
+
+
 def _measure_main(cores: int, n_rows: int, reps: int = 2) -> None:
     """Subprocess body: warm-up run + `reps` measured runs on
     local[cores]; reports the best run (+ every rep's wall)."""
@@ -87,11 +182,14 @@ def _measure_main(cores: int, n_rows: int, reps: int = 2) -> None:
     run_pipeline(spark, corpus, FROZEN)          # steady-state warm-up
     best = None
     walls = []
+    host = []
     for _ in range(max(1, reps)):
         spark.catalog.clearCache()
+        pre = _host_state()
         t0 = time.time()
         res = run_pipeline(spark, corpus, FROZEN)
         wall = time.time() - t0
+        host.append({"pre": pre, "post": _host_state()})
         walls.append(round(wall, 3))
         if best is None or wall < best[0]:
             best = (wall, res.metrics)
@@ -100,6 +198,7 @@ def _measure_main(cores: int, n_rows: int, reps: int = 2) -> None:
     print(json.dumps({
         "cores": cores, "rows": n, "wall": round(wall, 3),
         "rate": round(n / wall, 2), "stages": stages, "rep_walls": walls,
+        "host": host,
     }), flush=True)
     spark.stop()
 
@@ -164,13 +263,20 @@ def _write_report(result: dict, lo: dict, hi: dict) -> None:
         f"({sc.get('scaling_rows', '?')} synthetic corpus rows), at two parallelism",
         f"levels: local[{sc.get('cores_low')}] and local[{sc.get('cores_high')}]"
         " (N and 4N cores, the north rule's two cluster sizes).",
-        "Each level runs in its own process (fresh JVM), is warmed with one",
-        "full pipeline pass (JIT + python-worker heap growth amortized, the",
-        "long-lived-executor steady state), then timed over repeated runs",
-        "with the plan cache cleared between them; the BEST run is",
-        "reported (interference in this shared sandbox is strictly",
-        "one-sided — contending processes only ever add time — so min is",
-        "the steady-state estimator; every rep wall is listed below).",
+        "CONTENTION-PROOF PROTOCOL (round 4): three interleaved",
+        "single-rep windows per level in the order hi,lo,hi,lo,hi,lo —",
+        "each window its own fresh-JVM subprocess, warmed with one full",
+        "pipeline pass (JIT + python-worker heap growth amortized, the",
+        "long-lived-executor steady state) before its timed run, so any",
+        "host-contention window hits BOTH ratio legs instead of silently",
+        "destroying one. The BEST window per level is reported",
+        "(interference in this shared sandbox is strictly one-sided —",
+        "contending processes only ever add time — so min is the",
+        "steady-state estimator; every window wall is listed below, and",
+        "loadavg/run-queue/THP/process-count snapshots around every rep",
+        "are recorded in the bench JSON). A level whose best wall exceeds",
+        "1.5x the other level's scaling-predicted wall is re-run (up to 2",
+        "extra windows) and flagged as contaminated if still out of band.",
         "",
         "| parallelism | wall (s) | images/sec | all rep walls (s) |",
         "|---|---|---|---|",
@@ -180,6 +286,8 @@ def _write_report(result: dict, lo: dict, hi: dict) -> None:
         f"**Scaling efficiency** = (rate_high/rate_low) / (cores_high/cores_low)"
         f" = **{sc.get('efficiency')}** (target ≥ 0.8).",
         "",
+        *(["**CONTAMINATION FLAG**: " + sc["contamination"], ""]
+          if sc.get("contamination") else []),
         "(Readings above 1.0 mean the low-parallelism level absorbed",
         "ambient host interference its longer wall exposes it to — the",
         "noise is one-sided, so the TRUE efficiency is at least the",
@@ -263,19 +371,7 @@ def main() -> None:
     scaling = None
     lo = hi = None
     if do_scaling:
-        hi = _measure_subprocess(hi_cores, scaling_rows)
-        lo = _measure_subprocess(low_cores, scaling_rows)
-        eff = (hi["rate"] / lo["rate"]) / (hi_cores / low_cores)
-        scaling = {
-            "cores_low": low_cores,
-            "cores_high": hi_cores,
-            "scaling_rows": hi["rows"],
-            "images_per_sec_low": lo["rate"],
-            "images_per_sec_high": hi["rate"],
-            "rep_walls_low": lo.get("rep_walls"),
-            "rep_walls_high": hi.get("rep_walls"),
-            "efficiency": round(eff, 4),
-        }
+        lo, hi, scaling = _measure_scaling(low_cores, hi_cores, scaling_rows)
         queries[f"pipeline_total_c{low_cores}_r{scaling_rows}"] = lo["wall"]
         queries[f"pipeline_total_c{hi_cores}_r{scaling_rows}"] = hi["wall"]
 
