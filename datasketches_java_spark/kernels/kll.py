@@ -174,3 +174,70 @@ class KllDoubles:
             )
             off += 8 * cnt
         return sk
+
+
+# --- reference-format interop (reads the reference library's own bytes)
+
+_FAMILY_KLL = 15  # common/Family.java:135
+
+
+def _ref_level_capacity(k: int, num_levels: int, level: int, m: int) -> int:
+    """KllHelper.levelCapacity / intCapAux(Aux) (KllHelper.java:315-321,
+    751-771): cap(level) = max(m, round(k·(2/3)^depth)) computed in the
+    reference's exact integer arithmetic so reconstructed level
+    boundaries match its serialized images bit-for-bit."""
+    depth = num_levels - level - 1
+    pow3 = 3 ** depth
+    tmp = ((2 * k) << depth) // pow3
+    return max(m, (tmp + 1) >> 1)
+
+
+def from_ref_bytes(buf: bytes, seed: int = 9001) -> "KllDoubles":
+    """Parse a KllDoublesSketch image serialized by the reference
+    library / C++ port (kll/KllPreambleUtil.java layout, native little-
+    endian): COMPACT_EMPTY and COMPACT_SINGLE (8-byte preamble +
+    optional item) and COMPACT_FULL (20-byte preamble, shortened
+    levels int[numLevels], min, max, packed retained items; the top
+    boundary is reconstructed as computeTotalItemCapacity(k, m,
+    numLevels) exactly as KllHeapDoublesSketch's segment constructor
+    does at :129-140). Validated in tests/test_ref_goldens.py against
+    the in-tree goldens kll_sketch_double_one_item_v1.sk /
+    kll_double_n1.sk (KllCrossLanguageTest expectations)."""
+    pre_ints, ser_ver, fam, flags = buf[0], buf[1], buf[2], buf[3]
+    if fam != _FAMILY_KLL:
+        raise ValueError(f"not a KLL image (family {fam})")
+    k = int(np.frombuffer(buf[4:6], dtype="<u2")[0])
+    m = buf[6]
+    sk = KllDoubles(k=k, seed=seed)
+    is_empty = bool(flags & 1)  # EMPTY_BIT_MASK
+    if pre_ints == 2:  # COMPACT_EMPTY or COMPACT_SINGLE
+        if is_empty:
+            return sk
+        v = float(np.frombuffer(buf[8:16], dtype="<f8")[0])
+        sk.levels = [np.array([v])]
+        sk.n = 1
+        return sk
+    if pre_ints != 5:
+        raise ValueError(f"bad KLL preamble ints {pre_ints} (serVer {ser_ver})")
+    n = int(np.frombuffer(buf[8:16], dtype="<i8")[0])
+    num_levels = buf[18]
+    off = 20
+    lev = np.frombuffer(buf[off:off + 4 * num_levels], dtype="<i4").tolist()
+    off += 4 * num_levels
+    cap = sum(_ref_level_capacity(k, num_levels, h, m) for h in range(num_levels))
+    lev_full = lev + [cap]
+    mn, mx = np.frombuffer(buf[off:off + 16], dtype="<f8")
+    off += 16
+    retained = cap - lev_full[0]
+    items = np.frombuffer(buf[off:off + 8 * retained], dtype="<f8")
+    # items are stored packed from lev_full[0]; split into per-level arrays
+    sk.levels = [
+        items[lev_full[h] - lev_full[0]: lev_full[h + 1] - lev_full[0]]
+        .astype(np.float64).copy()
+        for h in range(num_levels)
+    ]
+    sk.n = n
+    # exact min/max are carried by the image, not derivable from the
+    # retained items once compaction dropped the extremes
+    sk._ref_min, sk._ref_max = float(mn), float(mx)
+    return sk

@@ -165,3 +165,73 @@ class TDigest:
         off += 8 * n
         td.weights = np.frombuffer(buf[off:off + 8 * n], dtype="<f8").copy()
         return td
+
+
+# --- reference-format interop (reads the reference library's own bytes)
+
+_FAMILY_TDIGEST = 20  # common/Family.java:160
+
+
+def from_ref_bytes(buf: bytes) -> "TDigest":
+    """Parse a serialized image produced by the reference library
+    (tdigest/TDigestDouble.java toByteArray, little-endian) or by the
+    original t-digest reference implementation (heapifyCompat formats,
+    big-endian: COMPAT_DOUBLE=asBytes, COMPAT_FLOAT=asSmallBytes —
+    TDigestDouble.java:463-508). Auto-detected the same way heapify
+    does: famID byte == 20 selects the library format. Validated in
+    tests/test_ref_goldens.py against the goldens the reference ships
+    in src/test/resources (tdigest_ref_k100_n10000_{double,float}.sk,
+    consumed by TDigestDoubleTest.deserializeFromReferenceImplementation*).
+    """
+    if len(buf) >= 3 and buf[2] == _FAMILY_TDIGEST:
+        pre_longs, ser_ver = buf[0], buf[1]
+        if ser_ver != 1:
+            raise ValueError(f"unsupported tdigest serial version {ser_ver}")
+        k = int(np.frombuffer(buf[3:5], dtype="<u2")[0])
+        flags = buf[5]
+        is_empty = bool(flags & 1)      # Flags.IS_EMPTY ordinal 0
+        is_single = bool(flags & 2)     # Flags.IS_SINGLE_VALUE ordinal 1
+        td = TDigest(k=k)
+        if is_empty:
+            return td
+        if is_single:
+            v = float(np.frombuffer(buf[8:16], dtype="<f8")[0])
+            td.min = td.max = v
+            td.means = np.array([v])
+            td.weights = np.array([1.0])
+            return td
+        if pre_longs != 2:
+            raise ValueError(f"bad tdigest preamble longs {pre_longs}")
+        nc = int(np.frombuffer(buf[8:12], dtype="<i4")[0])
+        td.min = float(np.frombuffer(buf[16:24], dtype="<f8")[0])
+        td.max = float(np.frombuffer(buf[24:32], dtype="<f8")[0])
+        pairs = np.frombuffer(buf[32:32 + 16 * nc], dtype="<f8").reshape(nc, 2)
+        td.means = pairs[:, 0].copy()
+        # weights are int64 longs bit-stored in the pair stream
+        td.weights = (
+            np.frombuffer(buf[32:32 + 16 * nc], dtype="<i8")
+            .reshape(nc, 2)[:, 1].astype(np.float64)
+        )
+        return td
+    # big-endian compat formats of the original reference implementation
+    typ = int(np.frombuffer(buf[0:4], dtype=">i4")[0])
+    if typ == 1:  # COMPAT_DOUBLE (asBytes)
+        mn, mx, kd = np.frombuffer(buf[4:28], dtype=">f8")
+        nc = int(np.frombuffer(buf[28:32], dtype=">i4")[0])
+        pairs = np.frombuffer(buf[32:32 + 16 * nc], dtype=">f8").reshape(nc, 2)
+        td = TDigest(k=int(kd))
+        td.min, td.max = float(mn), float(mx)
+        td.weights = pairs[:, 0].astype(np.float64)  # weight first, then mean
+        td.means = pairs[:, 1].copy()
+        return td
+    if typ == 2:  # COMPAT_FLOAT (asSmallBytes)
+        mn, mx = np.frombuffer(buf[4:20], dtype=">f8")
+        kd = float(np.frombuffer(buf[20:24], dtype=">f4")[0])
+        nc = int(np.frombuffer(buf[28:30], dtype=">i2")[0])
+        pairs = np.frombuffer(buf[30:30 + 8 * nc], dtype=">f4").reshape(nc, 2)
+        td = TDigest(k=int(kd))
+        td.min, td.max = float(mn), float(mx)
+        td.weights = pairs[:, 0].astype(np.float64)
+        td.means = pairs[:, 1].astype(np.float64)
+        return td
+    raise ValueError(f"unrecognized tdigest image (compat type {typ})")
