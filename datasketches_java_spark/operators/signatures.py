@@ -189,11 +189,72 @@ def with_id64(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("id64", F.xxhash64("image_id"))
 
 
-def id_map(corpus: DataFrame) -> DataFrame:
+def id_map(corpus: DataFrame, remap: DataFrame | None = None,
+           key=None) -> DataFrame:
     """(id64, image_id) dimension for boundary remaps. Small relative to
     the corpus (two columns); broadcast below ~10M rows, bucketed join
-    above."""
-    return corpus.select(F.xxhash64("image_id").alias("id64"), "image_id")
+    above. `remap`/`key` must match what compute_signatures used so the
+    boundary join sees the same keys."""
+    if key is None:
+        key = F.xxhash64("image_id")
+    base = corpus.select(key.alias("id64"), "image_id")
+    if remap is None:
+        return base
+    return (
+        base.join(
+            F.broadcast(remap.withColumnRenamed("id64", "id64_r")),
+            "image_id", "left",
+        )
+        .select(F.coalesce("id64_r", "id64").alias("id64"), "image_id")
+    )
+
+
+def build_id_remap(corpus: DataFrame, key=None) -> DataFrame:
+    """The 128-bit quarantine lane promised by id_collision_audit:
+    (image_id, id64) side-table re-keying the FEW image_ids whose
+    64-bit key collides across distinct ids (expected ~27 rows at
+    10^12 corpus rows — n²/2^65). Per colliding group the minimum
+    image_id keeps its original key; every other member gets the
+    second-seed tiebreak xxhash64(image_id || '#r1') — together with
+    the first hash that is an effectively-128-bit keyspace, applied
+    only where the first 64 bits failed, so the hot path still moves
+    one int64 per row.
+
+    The table is tiny by construction (collision members only):
+    broadcast-joined wherever it is applied (apply_id_remap). Callers
+    in production re-run id_collision_audit on the remapped keys once
+    per ingest; tests assert the combined keyspace is collision-free
+    under a deliberately narrow injected hash."""
+    audit = id_collision_audit(corpus, key=key)
+    members = audit.select(
+        "id64", F.explode("image_ids").alias("image_id")
+    )
+    keep = members.groupBy("id64").agg(F.min("image_id").alias("keep_id"))
+    return (
+        members.join(keep, "id64")
+        .filter(F.col("image_id") != F.col("keep_id"))
+        .select(
+            "image_id",
+            F.xxhash64(F.concat(F.col("image_id"), F.lit("#r1"))).alias("id64"),
+        )
+    )
+
+
+def apply_id_remap(df: DataFrame, remap: DataFrame | None, key=None):
+    """id64 column expression/frame: df + id64 where id64 =
+    remap.id64 for quarantined image_ids else key(image_id)."""
+    if key is None:
+        key = F.xxhash64("image_id")
+    if remap is None:
+        return df.withColumn("id64", key)
+    return (
+        df.join(
+            F.broadcast(remap.withColumnRenamed("id64", "id64_r")),
+            "image_id", "left",
+        )
+        .withColumn("id64", F.coalesce("id64_r", key))
+        .drop("id64_r")
+    )
 
 
 def id_collision_audit(corpus: DataFrame, key=None) -> DataFrame:
@@ -225,22 +286,26 @@ def id_collision_audit(corpus: DataFrame, key=None) -> DataFrame:
     )
 
 
-def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN) -> DataFrame:
+def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN,
+                       remap: DataFrame | None = None, key=None) -> DataFrame:
     """corpus (input_hint schema) → signature table keyed by id64.
 
     Column pruning matters: select only what the kernel reads so the
     parquet scan never materializes `bytes` (check ReadSchema in
     .explain — the 100 TB of pixels stays on disk).
-    """
+
+    `remap` (build_id_remap) re-keys quarantined colliding ids; `key`
+    overrides the hash expression (tests inject a narrow hash)."""
+    cols = (
+        ["image_id", "caption", "phash"] if "phash" in corpus.columns
+        else ["image_id", "caption"]
+    )
+    keyed = apply_id_remap(corpus.select(*cols), remap, key)
     if "phash" in corpus.columns:
-        slim = corpus.select(
-            F.xxhash64("image_id").alias("id64"), "caption", "phash"
-        )
+        slim = keyed.select("id64", "caption", "phash")
     else:
-        slim = corpus.select(
-            F.xxhash64("image_id").alias("id64"),
-            "caption",
-            F.lit(0).cast("bigint").alias("phash"),
+        slim = keyed.select(
+            "id64", "caption", F.lit(0).cast("bigint").alias("phash")
         )
     # Input splits follow file layout (maxPartitionBytes), which for a
     # byte-heavy corpus can mean 1-2 splits of the *projected* columns —

@@ -119,8 +119,23 @@ def run_pipeline(
     cfg: DedupConfig = FROZEN,
     checkpoint_root: str | None = None,
     with_audits: bool = False,
+    id_remap: bool = False,
+    id_key=None,
 ) -> PipelineResult:
+    """`id_remap=True` runs the per-ingest id64 collision audit and
+    quarantines colliding image_ids into the 128-bit remap side-table
+    (operators/signatures.py build_id_remap) before signing — the
+    production setting for 10^12-row corpora, where ~27 birthday
+    collisions are expected; off by default at bench tiers where
+    P(any collision) < 1e-8. `id_key` overrides the id hash (tests
+    inject a deliberately narrow hash to force the collision path)."""
     metrics: dict = {"config_hash": cfg.config_hash()}
+    remap = None
+    if id_remap:
+        from ..operators.signatures import build_id_remap
+
+        remap = build_id_remap(corpus, key=id_key)
+        metrics["id_remapped_rows"] = remap.count()
     if checkpoint_root is not None:
         # key checkpoints by (config, corpus identity): resuming a
         # different corpus from the same root must never serve stale
@@ -131,7 +146,8 @@ def run_pipeline(
 
     signatures = _stage(
         spark, checkpoint_root, "signatures",
-        lambda: compute_signatures(corpus, cfg), metrics, persist=True,
+        lambda: compute_signatures(corpus, cfg, remap=remap, key=id_key),
+        metrics, persist=True,
     )
     candidates = _stage(
         spark, checkpoint_root, "candidates",
@@ -156,7 +172,7 @@ def run_pipeline(
     # map is two slim columns; broadcast at this scale, bucketed join at
     # web scale. Computed lazily — consumers that stay on id64 (the
     # bench loop, audits) never pay for it.
-    idmap = id_map(corpus)
+    idmap = id_map(corpus, remap=remap, key=id_key)
     verified = _remap_pairs(verified64, idmap)
     named = labels64.join(F.broadcast(idmap), "id64")
     minname = named.groupBy(F.col("cluster_id").alias("cid64")).agg(
