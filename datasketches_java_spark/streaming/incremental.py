@@ -12,12 +12,23 @@ merge with the persisted state via grouped applyInPandas ) → versioned
 state write + atomic CURRENT-pointer flip (the Iceberg snapshot
 pattern) + Spark checkpointing for exactly-once resume. Nothing sketch-
 sized ever passes through the driver — state merge scales with
-executors, not driver memory. FIXTURES.md F6 smoke-tests it with the
-driver's `events` table mapped to (image_id, caption).
+executors, not driver memory.
+
+DELTA-MERGE STATE (round 4, verdict #8): the state table is hash-
+bucketed by group (`bucket = pmod(xxhash64(group), n_buckets)`); each
+micro-batch reads, merges, and REWRITES ONLY the buckets containing
+touched groups, and commits a manifest mapping every bucket to the
+delta version that last wrote it (the Iceberg merge-on-read shape with
+plain parquet + a JSON manifest). Per-batch I/O is O(touched state),
+not O(total state) — at a 10^9-group state with sparse-key batches
+this is the difference between rewriting gigabytes per trigger and
+rewriting only the buckets that changed. FIXTURES.md F6 smoke-tests it
+with the driver's `events` table mapped to (image_id, caption).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -32,24 +43,51 @@ from ..kernels import kmv
 _CURRENT = "CURRENT"
 
 
-def _current_state_path(state_dir: str) -> str | None:
+def _current_manifest(state_dir: str) -> tuple[str | None, dict]:
+    """(manifest name, bucket→delta-dir map) of the committed state.
+    Legacy single-directory layouts (round-3 full-rewrite states, or a
+    bare state_vN dir) surface as {"*": dirname}: every bucket reads
+    from that one directory until the next batch migrates it."""
     ptr = os.path.join(state_dir, _CURRENT)
     if not os.path.exists(ptr):
-        return None
+        return None, {}
     with open(ptr) as f:
-        rel = f.read().strip()
-    path = os.path.join(state_dir, rel)
-    return path if os.path.isdir(path) else None
+        name = f.read().strip()
+    path = os.path.join(state_dir, name)
+    if name.endswith(".json") and os.path.isfile(path):
+        with open(path) as f:
+            return name, json.load(f)["buckets"]
+    if os.path.isdir(path):  # legacy whole-state directory
+        return name, {"*": name}
+    return None, {}
 
 
-def _flip_current(state_dir: str, version_name: str) -> None:
+def _flip_current(state_dir: str, manifest_name: str) -> None:
     """Atomic pointer flip (write tmp + rename), the snapshot-commit
-    pattern; readers always see a complete state directory."""
+    pattern; readers always see a complete state image."""
     ptr = os.path.join(state_dir, _CURRENT)
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
-        f.write(version_name)
+        f.write(manifest_name)
     os.replace(tmp, ptr)
+
+
+def _bucket_paths(state_dir: str, bmap: dict, buckets=None) -> list[str]:
+    """Parquet paths for the given buckets (all when None) under the
+    manifest map, skipping buckets never written."""
+    if "*" in bmap:  # legacy: single directory holds everything
+        return [os.path.join(state_dir, bmap["*"])]
+    items = bmap.items() if buckets is None else (
+        (str(b), bmap.get(str(b))) for b in buckets
+    )
+    out = []
+    for b, ver in items:
+        if ver is None:
+            continue
+        p = os.path.join(state_dir, ver, f"bucket={b}")
+        if os.path.isdir(p):
+            out.append(p)
+    return out
 
 
 def merge_sketch_states(old: pd.DataFrame, new: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -78,11 +116,12 @@ def run_incremental_signatures(
     value_col: str = "event_type",
     k: int = 256,
     max_files_per_trigger: int = 1,
+    n_buckets: int = 64,
 ) -> None:
     """Stream parquet files from source_dir; maintain per-group KMV
-    distinct sketches under state_dir (versioned snapshots + CURRENT
-    pointer). availableNow => drains the backlog then stops (resumable:
-    the Spark checkpoint remembers progress)."""
+    distinct sketches under state_dir (bucketed delta versions + JSON
+    manifest + CURRENT pointer). availableNow => drains the backlog
+    then stops (resumable: the Spark checkpoint remembers progress)."""
     schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -96,33 +135,71 @@ def run_incremental_signatures(
         u = kmv.union_many(sigs, k)
         return pd.DataFrame({group_col: [key[0]], "sketch": [kmv.serialize(u, k)]})
 
+    def _bucket_of(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        version = f"state_v{batch_id}"
-        prev = _current_state_path(state_dir)
-        if prev is not None and os.path.basename(prev) == version:
+        version = f"delta_v{batch_id}"
+        manifest_name = f"MANIFEST_v{batch_id}.json"
+        cur_name, prev_map = _current_manifest(state_dir)
+        if cur_name == manifest_name:
             # retry of an already-committed batch (failure landed between
             # the CURRENT flip and the stream-checkpoint commit): state
-            # already includes this batch — re-merging would read and
-            # overwrite the same directory. The KMV union is idempotent,
+            # already includes this batch — the KMV union is idempotent,
             # so skipping preserves exactly-once semantics.
             return
         new = kmv_sketch_bytes_agg(
             batch_df.withColumn(group_col, F.col(group_col).cast("string")),
             group_col, value_col, k,
         )
-        if prev is not None:
-            new = new.unionByName(sess.read.parquet(prev))
-        # distributed merge: per-group sketch union on executors
-        merged = new.groupBy(group_col).applyInPandas(
-            merge_group, f"{group_col} string, sketch binary"
+        touched = sorted(
+            r[0] for r in
+            new.select(_bucket_of(F.col(group_col)).alias("b")).distinct().collect()
+        )
+        legacy = "*" in prev_map
+        prev_paths = _bucket_paths(
+            state_dir, prev_map, None if legacy else touched
+        )
+        if prev_paths:
+            prev_df = sess.read.parquet(*prev_paths).select(group_col, "sketch")
+            if legacy:
+                # one-time migration: fold the whole legacy state in, so
+                # every bucket lands in the new bucketed layout
+                new = new.unionByName(prev_df)
+                touched = sorted(
+                    r[0] for r in new.select(
+                        _bucket_of(F.col(group_col)).alias("b")
+                    ).distinct().collect()
+                )
+            else:
+                new = new.unionByName(prev_df)
+        # distributed merge of touched buckets only: per-group sketch
+        # union on executors, written partitioned by bucket
+        merged = (
+            new.groupBy(group_col)
+            .applyInPandas(merge_group, f"{group_col} string, sketch binary")
+            .withColumn("bucket", _bucket_of(F.col(group_col)))
         )
         out = os.path.join(state_dir, version)
-        merged.write.mode("overwrite").parquet(out)
-        old = _current_state_path(state_dir)
-        _flip_current(state_dir, version)
-        if old is not None and os.path.basename(old) != version:
-            shutil.rmtree(old, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        new_map = {} if legacy else dict(prev_map)
+        for b in touched:
+            new_map[str(b)] = version
+        mpath = os.path.join(state_dir, manifest_name)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump({"buckets": new_map}, f)
+        os.replace(mpath + ".tmp", mpath)
+        _flip_current(state_dir, manifest_name)
+        # GC: delete version dirs no bucket references any more
+        referenced = set(new_map.values())
+        for d in os.listdir(state_dir):
+            if (
+                (d.startswith("delta_v") or d.startswith("state_v"))
+                and d not in referenced
+                and os.path.isdir(os.path.join(state_dir, d))
+            ):
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -137,12 +214,14 @@ def read_state_estimates(state_dir: str, k: int = 256) -> pd.DataFrame:
     """Distinct-count estimates from the persisted sketch state."""
     import glob as _glob
 
-    path = _current_state_path(state_dir)
-    if path is None:  # legacy single-file layout
-        path = os.path.join(state_dir, "kmv_state.parquet")
-        files = [path]
-    else:
-        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    _, bmap = _current_manifest(state_dir)
+    if bmap:
+        dirs = _bucket_paths(state_dir, bmap)
+        files = [
+            f for d in dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        ]
+    else:  # legacy single-file layout
+        files = [os.path.join(state_dir, "kmv_state.parquet")]
     state = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     rows = []
     for g, b in zip(state.iloc[:, 0], state["sketch"]):

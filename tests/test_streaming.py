@@ -44,3 +44,76 @@ def test_incremental_signatures_match_batch(spark, smoke_sf_dir, tmp_path):
     )
     after = read_state_estimates(state, 256).set_index("group")["distinct_est"].to_dict()
     assert before == after
+
+
+def test_delta_merge_rewrites_only_touched_buckets(spark, smoke_sf_dir, tmp_path):
+    """Verdict #8 contract: a micro-batch touching one group rewrites
+    only that group's bucket; untouched buckets' manifest entries AND
+    parquet files are byte-identical across the batch."""
+    import glob
+    import json
+
+    from datasketches_java_spark.streaming.incremental import (
+        read_state_estimates,
+        run_incremental_signatures,
+    )
+
+    events = spark.read.parquet(f"{smoke_sf_dir}/events.parquet")
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src, exist_ok=True)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "dstate")
+    ckpt = str(tmp_path / "dckpt")
+    run_incremental_signatures(
+        spark, src, state, ckpt, group_col="event_type", value_col="user_id",
+        k=256, n_buckets=64,
+    )
+
+    def manifest():
+        with open(os.path.join(state, "CURRENT")) as f:
+            name = f.read().strip()
+        with open(os.path.join(state, name)) as f:
+            return json.load(f)["buckets"]
+
+    def file_stats(bmap, bucket):
+        d = os.path.join(state, bmap[str(bucket)], f"bucket={bucket}")
+        return {
+            p: os.stat(p).st_mtime_ns
+            for p in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        }
+
+    m1 = manifest()
+    buckets = {
+        r["event_type"]: r["b"]
+        for r in events.select("event_type").distinct().withColumn(
+            "b", F.pmod(F.xxhash64("event_type"), F.lit(64)).cast("int")
+        ).collect()
+    }
+    click_b = buckets["click"]
+    untouched = sorted({b for t, b in buckets.items() if b != click_b})
+    assert untouched, "fixture types all hash to one bucket; widen n_buckets"
+    before = {b: file_stats(m1, b) for b in untouched}
+
+    # second batch: only 'click' rows — one touched bucket
+    events.filter(F.col("event_type") == "click").limit(50) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_incremental_signatures(
+        spark, src, state, ckpt, group_col="event_type", value_col="user_id",
+        k=256, n_buckets=64,
+    )
+    m2 = manifest()
+    assert m2[str(click_b)] != m1[str(click_b)]  # click bucket rewritten
+    for b in untouched:
+        assert m2[str(b)] == m1[str(b)]          # manifest entry stable
+        assert file_stats(m2, b) == before[b]    # files untouched on disk
+
+    # state remains queryable and correct
+    est = read_state_estimates(state, 256).set_index("group")
+    exact = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .toPandas().set_index("event_type")["n"]
+    )
+    for g, true in exact.items():
+        assert est.loc[g, "distinct_lb"] <= true <= est.loc[g, "distinct_ub"]
