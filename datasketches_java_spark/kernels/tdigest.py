@@ -235,3 +235,31 @@ def from_ref_bytes(buf: bytes) -> "TDigest":
         td.means = pairs[:, 1].astype(np.float64)
         return td
     raise ValueError(f"unrecognized tdigest image (compat type {typ})")
+
+
+def to_ref_bytes(td: TDigest) -> bytes:
+    """Serialize in the reference library's own wire format
+    (tdigest/TDigestDouble.java toByteArray, little-endian): preamble
+    byte layout {preLongs, serVer=1, famID=20, k:short, flags, unused:
+    short}, then empty / single-value / full images. A Java
+    TDigestDouble.heapify() reads these bytes directly — the write
+    side of the interop lane whose read side is from_ref_bytes
+    (round-trip tested in tests/test_ref_goldens.py)."""
+    n_c = len(td.means)
+    k16 = np.array([td.k], dtype="<u2").tobytes()
+    if n_c == 0:
+        return bytes([1, 1, _FAMILY_TDIGEST]) + k16 + bytes([1, 0, 0])
+    if n_c == 1 and td.weights[0] == 1.0 and td.min == td.max:
+        return (
+            bytes([1, 1, _FAMILY_TDIGEST]) + k16 + bytes([2, 0, 0])
+            + np.array([td.min], dtype="<f8").tobytes()
+        )
+    head = (
+        bytes([2, 1, _FAMILY_TDIGEST]) + k16 + bytes([0, 0, 0])
+        + np.array([n_c, 0], dtype="<i4").tobytes()
+        + np.array([td.min, td.max], dtype="<f8").tobytes()
+    )
+    pairs = np.empty(2 * n_c, dtype="<i8")
+    pairs[0::2] = td.means.astype("<f8").view("<i8")
+    pairs[1::2] = np.round(td.weights).astype("<i8")
+    return head + pairs.tobytes()

@@ -114,3 +114,34 @@ def test_kll_parsed_golden_merges_with_native():
     sk.merge(other)
     assert sk.n == 100
     assert sk.get_quantile(0.0) == 1.0
+
+
+def test_tdigest_ref_format_round_trip():
+    """Write side of the interop lane: our digest serialized in the
+    reference wire format parses back identically (and the re-parse of
+    the REFERENCE golden re-serialized by us is lossless)."""
+    import numpy as np
+
+    from datasketches_java_spark.kernels.tdigest import (
+        TDigest, from_ref_bytes, to_ref_bytes,
+    )
+
+    td = TDigest(k=100).update_many(np.arange(5000, dtype=float))
+    rt = from_ref_bytes(to_ref_bytes(td))
+    assert rt.k == td.k and rt.n == td.n
+    assert rt.min == td.min and rt.max == td.max
+    assert np.array_equal(rt.means, td.means)
+    assert np.array_equal(rt.weights, td.weights)
+
+    # golden → our writer → our reader: byte-stable state
+    g = from_ref_bytes(_bytes("tdigest_ref_k100_n10000_double.sk"))
+    g2 = from_ref_bytes(to_ref_bytes(g))
+    assert np.array_equal(g2.means, g.means)
+    assert np.array_equal(g2.weights, g.weights)
+    assert (g2.min, g2.max, g2.k) == (g.min, g.max, g.k)
+
+    # empty and single-value images
+    assert from_ref_bytes(to_ref_bytes(TDigest(k=50))).n == 0
+    one = TDigest(k=50).update_many(np.array([7.5]))
+    r1 = from_ref_bytes(to_ref_bytes(one))
+    assert r1.n == 1 and r1.min == r1.max == 7.5
