@@ -241,3 +241,57 @@ def from_ref_bytes(buf: bytes, seed: int = 9001) -> "KllDoubles":
     # retained items once compaction dropped the extremes
     sk._ref_min, sk._ref_max = float(mn), float(mx)
     return sk
+
+
+def to_ref_bytes(sk: "KllDoubles") -> bytes:
+    """Serialize in the reference library's KllDoublesSketch wire
+    format (KllPreambleUtil layout, little-endian): COMPACT_EMPTY,
+    COMPACT_SINGLE (serVer=2) or COMPACT_FULL (serVer=1, 20-byte
+    preamble + shortened levels int[numLevels] + min + max + packed
+    items). The full levels boundaries are reconstructed the way the
+    reference reader does — levels[numLevels] = its
+    computeTotalItemCapacity(k, m, numLevels) — so heapify() splits
+    our per-level item counts back exactly; round-trip tested in
+    tests/test_ref_goldens.py. min/max fields are the retained
+    extremes (exact whenever no compaction dropped an extreme — always
+    true in the exact regime; a parse via from_ref_bytes carries the
+    image's own exact min/max through)."""
+    m = 8  # reference default M (KllSketch.java DEFAULT_M)
+    k16 = np.array([sk.k], dtype="<u2").tobytes()
+    retained = np.concatenate([lv for lv in sk.levels]) if sk.levels else np.empty(0)
+    if sk.n == 0:
+        #         preInts serVer famID flags(EMPTY)
+        return bytes([2, 1, _FAMILY_KLL, 1]) + k16 + bytes([m, 0])
+    if sk.n == 1:
+        return (
+            bytes([2, 2, _FAMILY_KLL, 4]) + k16 + bytes([m, 0])  # SINGLE_ITEM
+            + np.array(retained[:1], dtype="<f8").tobytes()
+        )
+    num_levels = len(sk.levels)
+    cap = sum(_ref_level_capacity(sk.k, num_levels, h, m) for h in range(num_levels))
+    counts = [len(lv) for lv in sk.levels]
+    # boundaries from the top down: levels[numLevels] = cap
+    bounds = np.empty(num_levels + 1, dtype=np.int64)
+    bounds[num_levels] = cap
+    for h in range(num_levels - 1, -1, -1):
+        bounds[h] = bounds[h + 1] - counts[h]
+    if bounds[0] < 0:
+        raise ValueError(
+            "retained items exceed the reference layout's capacity for "
+            f"k={sk.k}, numLevels={num_levels} — compact the sketch first"
+        )
+    lvl0 = np.sort(np.asarray(sk.levels[0], dtype=np.float64))
+    items = np.concatenate([lvl0] + [np.asarray(lv, np.float64) for lv in sk.levels[1:]])
+    mn = getattr(sk, "_ref_min", None)
+    mx = getattr(sk, "_ref_max", None)
+    mn = float(retained.min()) if mn is None else mn
+    mx = float(retained.max()) if mx is None else mx
+    head = (
+        bytes([5, 1, _FAMILY_KLL, 2]) + k16 + bytes([m, 0])  # LEVEL_ZERO_SORTED
+        + np.array([sk.n], dtype="<i8").tobytes()
+        + np.array([sk.k], dtype="<u2").tobytes()             # min_k
+        + bytes([num_levels, 0])
+        + bounds[:num_levels].astype("<i4").tobytes()
+        + np.array([mn, mx], dtype="<f8").tobytes()
+    )
+    return head + items.astype("<f8").tobytes()

@@ -145,3 +145,33 @@ def test_tdigest_ref_format_round_trip():
     one = TDigest(k=50).update_many(np.array([7.5]))
     r1 = from_ref_bytes(to_ref_bytes(one))
     assert r1.n == 1 and r1.min == r1.max == 7.5
+
+
+def test_kll_ref_format_round_trip():
+    """Write side of the KLL interop lane: our sketch serialized in the
+    reference wire format parses back with identical level contents,
+    for exact-regime, compacted, empty and single-item states."""
+    import numpy as np
+
+    from datasketches_java_spark.kernels.kll import (
+        KllDoubles, from_ref_bytes, to_ref_bytes,
+    )
+
+    for n in (0, 1, 150, 20000):  # empty, single, exact regime, compacted
+        sk = KllDoubles(k=200)
+        if n:
+            sk.update_many(np.arange(float(n)))
+        rt = from_ref_bytes(to_ref_bytes(sk))
+        assert rt.n == sk.n and rt.k == sk.k
+        assert len(rt.levels) == max(1, len([lv for lv in sk.levels])) or n == 0
+        a = np.sort(np.concatenate(sk.levels)) if sk.levels else np.empty(0)
+        b = np.sort(np.concatenate(rt.levels)) if rt.levels else np.empty(0)
+        assert np.array_equal(a, b)
+        if n:
+            for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+                assert rt.get_quantile(q) == sk.get_quantile(q)
+
+    # golden → writer → reader is stable
+    g = from_ref_bytes(_bytes("kll_sketch_double_one_item_v1.sk"))
+    g2 = from_ref_bytes(to_ref_bytes(g))
+    assert g2.n == 1 and g2.get_quantile(0.5) == 1.0
