@@ -283,6 +283,26 @@ def _q_ks_caption_len_sources(spark, sf_dir):
     return ks_pairwise(sk, "source")
 
 
+def _q_req_caption_len_by_source(spark, sf_dir):
+    """Per-source text-length quantiles through the REQ sketch UDAF
+    (reference R1, req/ReqSketch.java — relative-error quantiles,
+    hra=True prioritizes the high ranks the p99 asks for): partial
+    sketch per (batch, group), merged final, inclusive integer rank
+    fractions. Exact at this tier (group n < level-0 nominal capacity
+    2·3·k ⇒ no compaction); the lossy-regime relative-error bounds
+    (BaseReqSketch.java:198-216) are pytest-gated in tests/test_req.py."""
+    from datasketches_java_spark.functions.req_agg import req_quantile_agg
+
+    return req_quantile_agg(
+        _docs(spark, sf_dir).select("source", F.length("text").alias("len")),
+        "source", "len", quantiles=((1, 2), (99, 100)), k=128,
+    ).select(
+        "source", "n",
+        F.col("q_1_2").cast("bigint").alias("len_p50"),
+        F.col("q_99_100").cast("bigint").alias("len_p99"),
+    )
+
+
 def _q_psample_docs(spark, sf_dir):
     """Deterministic p-sampling front-end (reference T9: initial θ =
     p·2^63 — here a hash-threshold filter, the relational equivalent)."""
@@ -546,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ebpps_source_sample": _q_ebpps_source_sample,
         "theta_user_overlap": _q_theta_user_overlap,
         "ks_caption_len_sources": _q_ks_caption_len_sources,
+        "req_caption_len_by_source": _q_req_caption_len_by_source,
         "psample_docs": _q_psample_docs,
         "minhash_dup_docs": _q_minhash_dup_docs,
         "kmv_distinct_by_source": _q_kmv_distinct_by_source,
@@ -946,6 +967,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(a.n * b.n) AS BIGINT) AS d_den
             FROM cc a JOIN cc b ON a.v = b.v AND a.s < b.s
             GROUP BY 1, 2
+        """,
+        "req_caption_len_by_source": """
+            -- REQ exact regime (no compaction at this tier): inclusive
+            -- integer-rank quantiles equal discrete order statistics,
+            -- same criterion as the KLL gate
+            WITH w AS (
+              SELECT source,
+                     CAST(length(text) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY source
+                          ORDER BY length(text)) AS cum,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT source,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(v) FILTER (WHERE 2*cum >= n) AS BIGINT) AS len_p50,
+                   CAST(min(v) FILTER (WHERE 100*cum >= 99*n) AS BIGINT) AS len_p99
+            FROM w GROUP BY source
         """,
         "kll_caption_len_by_source": """
             -- discrete inclusive quantile, integer rank fractions:
