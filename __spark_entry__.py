@@ -362,6 +362,19 @@ def _q_hll_users_by_type(spark, sf_dir):
     )
 
 
+def _q_cpc_users_by_type(spark, sf_dir):
+    """CPC distinct users per event type (reference C1-C3,
+    cpc/CpcSketch.java + CpcUnion.java via kernels/cpc.py): distributed
+    partial/final sketch union, ICON estimate + the reference's own
+    confidence tables. Rows-only gate (probabilistic estimate), same
+    contract as hll_users_by_type; HIP/ICON accuracy envelopes and
+    merge semantics are pytest-gated in tests/test_cpc.py."""
+    from datasketches_java_spark.functions.cpc_agg import cpc_distinct_agg
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return cpc_distinct_agg(ev, "event_type", "user_id", lg_k=11)
+
+
 def _q_embedding_topk_cosine(spark, sf_dir):
     from datasketches_java_spark.operators.similarity import brute_force_topk_cosine_q
 
@@ -582,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contracts pytest-gated — HLL vs reference error tables,
         # LSH-ANN recall vs brute force, multi-channel cluster cover)
         "hll_users_by_type": _q_hll_users_by_type,
+        "cpc_users_by_type": _q_cpc_users_by_type,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "corpus_clusters_multichannel": _q_corpus_clusters_multichannel,
         "varopt_cluster_sample": _q_varopt_cluster_sample,
