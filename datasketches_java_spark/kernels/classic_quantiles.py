@@ -1,0 +1,105 @@
+"""Classic quantiles (DoublesSketch) image reader — the migration lane
+for the reference's pre-KLL quantile family (Q1, superseded by KLL for
+new data; reference quantiles/HeapCompactDoublesSketch.java:240-281,
+quantiles/PreambleUtil layout).
+
+Parses every historical serial version the reference itself accepts:
+ - serVer 1 (v0.3.x): 40-byte preamble (2 pre-longs + min, max,
+   buf-alloc extras), NON-compact combined buffer — base buffer slots
+   padded to 2k, then one k-item block per set bit of
+   bitPattern = n/(2k).
+ - serVer 2 (v0.6.x): 32-byte preamble, compact — base buffer
+   (n mod 2k items, unsorted) then k-item blocks for set bits.
+ - serVer 3 (v0.8.x+): same compact layout, COMPACT flag set.
+
+The parsed state maps losslessly onto the KLL kernel's level
+representation: the base buffer is level 0 (weight 1 = 2^0) and
+classic level j (weight 2^(j+1)) is KLL level j+1 — so the returned
+KllDoubles answers rank/quantile/CDF queries over the migrated data
+directly. Validated against the reference's own cross-language goldens
+(Qk128_n{50,1000}_v{0.3.0,0.6.0,0.8.0,0.8.3}.sk) with the EXCLUSIVE-
+median expectations of QuantilesSketchCrossLanguageTest (Median2
+values) in tests/test_ref_goldens.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kll import KllDoubles
+
+_FAMILY_QUANTILES = 8  # common/Family.java QUANTILES(8)
+_EMPTY_FLAG = 4
+
+
+def from_ref_bytes(buf: bytes, seed: int = 9001) -> KllDoubles:
+    """Classic DoublesSketch image → query-ready KllDoubles."""
+    pre_longs, ser_ver, fam, flags = buf[0], buf[1], buf[2], buf[3]
+    if fam != _FAMILY_QUANTILES:
+        raise ValueError(f"not a classic quantiles image (family {fam})")
+    if ser_ver not in (1, 2, 3):
+        raise ValueError(f"unsupported classic serial version {ser_ver}")
+    k = int(np.frombuffer(buf[4:6], dtype="<u2")[0])
+    sk = KllDoubles(k=k, seed=seed)
+    if (flags & _EMPTY_FLAG) or pre_longs == 1:
+        return sk
+    n = int(np.frombuffer(buf[8:16], dtype="<i8")[0])
+    mn, mx = np.frombuffer(buf[16:32], dtype="<f8")
+    extra = 3 if ser_ver == 1 else 2  # serVer1 carries a buf-alloc long
+    pre_bytes = (2 + extra) << 3
+    bb = n % (2 * k)
+    bit_pattern = n // (2 * k)
+
+    levels: list[np.ndarray] = []
+    if ser_ver == 1:
+        # non-compact: padded 2k base-buffer region, then k per set bit
+        base = np.frombuffer(buf[pre_bytes:pre_bytes + 8 * bb], dtype="<f8")
+        levels.append(np.sort(base).astype(np.float64))
+        # non-compact images store a k-item slot for EVERY level up to
+        # the highest (absent levels still occupy space) — the source
+        # offset advances k items per level unconditionally
+        off = pre_bytes + ((2 * k) << 3)
+        bp = bit_pattern
+        while bp:
+            if bp & 1:
+                levels.append(
+                    np.frombuffer(buf[off:off + 8 * k], dtype="<f8").astype(np.float64)
+                )
+            else:
+                levels.append(np.empty(0, np.float64))
+            off += 8 * k
+            bp >>= 1
+    else:
+        # compact: contiguous retained items
+        off = pre_bytes
+        base = np.frombuffer(buf[off:off + 8 * bb], dtype="<f8")
+        levels.append(np.sort(base).astype(np.float64))
+        off += 8 * bb
+        bp = bit_pattern
+        while bp:
+            if bp & 1:
+                levels.append(
+                    np.frombuffer(buf[off:off + 8 * k], dtype="<f8").astype(np.float64)
+                )
+                off += 8 * k
+            else:
+                levels.append(np.empty(0, np.float64))
+            bp >>= 1
+
+    # classic level j (weight 2^(j+1)) = KLL level j+1; base = level 0
+    sk.levels = levels
+    sk.n = n
+    sk._ref_min, sk._ref_max = float(mn), float(mx)
+    return sk
+
+
+def quantile_exclusive(sk: KllDoubles, rank: float) -> float:
+    """EXCLUSIVE search criterion (QuantileSearchCriteria.EXCLUSIVE):
+    min retained item v with cumweight(v) > rank·n — the rule the
+    reference's historical-golden tests evaluate (Median2)."""
+    it, wt = sk._sorted_view()
+    if len(it) == 0:
+        return float("nan")
+    cum = np.cumsum(wt)
+    idx = int(np.searchsorted(cum, rank * sk.n, side="right"))
+    return float(it[min(idx, len(it) - 1)])

@@ -175,3 +175,27 @@ def test_kll_ref_format_round_trip():
     g = from_ref_bytes(_bytes("kll_sketch_double_one_item_v1.sk"))
     g2 = from_ref_bytes(to_ref_bytes(g))
     assert g2.n == 1 and g2.get_quantile(0.5) == 1.0
+
+
+@needs_res
+def test_classic_quantiles_historical_goldens():
+    """Q1 migration lane: every historical DoublesSketch golden the
+    reference ships (serVer 1/2/3, v0.3.0 through v0.8.3) parses to
+    the same total weight, min/max, and EXCLUSIVE median the
+    reference's own QuantilesSketchCrossLanguageTest asserts."""
+    from datasketches_java_spark.kernels.classic_quantiles import (
+        from_ref_bytes, quantile_exclusive,
+    )
+
+    cases = [
+        (f"Qk128_n{n}_v{v}.sk", n, med2)
+        for v in ("0.3.0", "0.6.0", "0.8.0", "0.8.3")
+        for n, med2 in ((50, 26.0), (1000, 501.0))
+    ]
+    for name, n, med2 in cases:
+        sk = from_ref_bytes(_bytes(name))
+        it, wt = sk._sorted_view()
+        assert sk.n == n
+        assert int(wt.sum()) == n          # retained weights rebuild n
+        assert sk._ref_min == 1.0 and sk._ref_max == float(n)
+        assert quantile_exclusive(sk, 0.5) == med2, name
