@@ -1,0 +1,126 @@
+"""Tuple CompactSketch legacy wire-format reader (reference
+tuple/CompactTupleSketch.java:76-153 legacy branch) — the migration
+lane for serialized tuple sketches produced by the reference library
+and its C++/pre-Apache (com.yahoo) ancestors.
+
+Legacy layout (serial versions 1 and 2, little-endian):
+  byte0 preambleLongs, byte1 version, byte2 familyId (9 = TUPLE),
+  byte3 sketchType (CompactTupleSketch), byte4 flagsLegacy
+  {IS_BIG_ENDIAN, IS_EMPTY, HAS_ENTRIES, IS_THETA_INCLUDED},
+  [thetaLong:8 if IS_THETA_INCLUDED],
+  [summaryClassNameLength:1 if version==1], count:int4,
+  [className bytes if version==1], hash[count] int64,
+  summary[count] (per-summary parser).
+
+Summary codecs match the reference's own:
+  DoubleSummary = double LE + mode byte (DoubleSummary.java:139-149),
+  IntegerSummary = int LE + mode byte (aninteger/IntegerSummary.java:139-149);
+  the test-suite IntegerSummary the goldens use = bare int LE ("integer4").
+
+Validated against both in-tree goldens
+(CompactSketchWithDoubleSummary4K_serialVersion1.sk,
+TupleWithTestIntegerSummary4kTrimmedSerVer2.sk) with the expectations
+of TupleCrossLanguageTest (tests/test_ref_goldens.py). Parsed state
+feeds kernels/tuple_kmv.py-style (hash, summary) processing; the
+estimate is retained·2^63/θ, identical to the Theta rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_FAMILY_TUPLE = 9
+_LONG_MAX = (1 << 63) - 1
+
+# FlagsLegacy ordinals (CompactTupleSketch.java:52)
+_F_BIG_ENDIAN, _F_EMPTY, _F_HAS_ENTRIES, _F_THETA = 1, 2, 4, 8
+
+
+@dataclass
+class LegacyTupleSketch:
+    hashes: np.ndarray      # int64 retained hash keys, Theta 63-bit lane
+    values: np.ndarray      # one summary value per hash (float64)
+    modes: np.ndarray       # summary combine-mode ordinals
+    theta_long: int
+    empty: bool
+
+    @property
+    def retained(self) -> int:
+        return len(self.hashes)
+
+    def estimate(self) -> float:
+        """retained / θ (ThetaSketch.java:621-623 rule)."""
+        if self.empty:
+            return 0.0
+        return self.retained * float(_LONG_MAX) / float(self.theta_long)
+
+    def is_estimation_mode(self) -> bool:
+        return self.theta_long < _LONG_MAX
+
+
+def _double_summary(buf: bytes, off: int) -> tuple[float, int, int]:
+    v = float(np.frombuffer(buf[off:off + 8], dtype="<f8")[0])
+    return v, buf[off + 8], 9
+
+
+def _integer_summary(buf: bytes, off: int) -> tuple[float, int, int]:
+    # main-library IntegerSummary: int LE + mode byte (5 bytes)
+    v = float(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])
+    return v, buf[off + 4], 5
+
+
+def _integer4_summary(buf: bytes, off: int) -> tuple[float, int, int]:
+    # the reference test-suite's IntegerSummary (4 bytes, no mode) —
+    # the codec its TupleWithTestIntegerSummary goldens were written with
+    v = float(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])
+    return v, 0, 4
+
+
+_SUMMARY_CODECS = {
+    "double": _double_summary,
+    "integer": _integer_summary,
+    "integer4": _integer4_summary,
+}
+
+
+def from_ref_bytes(buf: bytes, summary: str = "double") -> LegacyTupleSketch:
+    """Parse a legacy (serVer 1/2) CompactTupleSketch image."""
+    pre_longs, version, fam, _stype = buf[0], buf[1], buf[2], buf[3]
+    if fam != _FAMILY_TUPLE:
+        raise ValueError(f"not a tuple image (family {fam})")
+    if version not in (1, 2):
+        raise ValueError(f"not a legacy tuple serial version ({version})")
+    codec = _SUMMARY_CODECS[summary]
+    off = 4
+    flags = buf[off]
+    off += 1
+    if flags & _F_BIG_ENDIAN:
+        raise ValueError("big-endian tuple images not supported")
+    empty = bool(flags & _F_EMPTY)
+    theta = _LONG_MAX
+    if flags & _F_THETA:
+        theta = int(np.frombuffer(buf[off:off + 8], dtype="<i8")[0])
+        off += 8
+    if not (flags & _F_HAS_ENTRIES):
+        return LegacyTupleSketch(
+            np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64),
+            theta, empty,
+        )
+    name_len = 0
+    if version == 1:  # serialVersionWithSummaryClassNameUID
+        name_len = buf[off]
+        off += 1
+    count = int(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])
+    off += 4 + name_len
+    hashes = np.frombuffer(buf[off:off + 8 * count], dtype="<i8").copy()
+    off += 8 * count
+    values = np.empty(count, np.float64)
+    modes = np.empty(count, np.int64)
+    for i in range(count):
+        v, m, sz = codec(buf, off)
+        values[i] = v
+        modes[i] = m
+        off += sz
+    return LegacyTupleSketch(hashes, values, modes, theta, empty)

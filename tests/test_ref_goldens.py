@@ -199,3 +199,36 @@ def test_classic_quantiles_historical_goldens():
         assert int(wt.sum()) == n          # retained weights rebuild n
         assert sk._ref_min == 1.0 and sk._ref_max == float(n)
         assert quantile_exclusive(sk, 0.5) == med2, name
+
+
+@needs_res
+def test_tuple_legacy_v1_double_summary_golden():
+    """TupleCrossLanguageTest.serialVersion1Compatibility expectations:
+    estimation mode, retained 4096, every summary value 1.0, estimate
+    within the asserted envelope of the true 8192."""
+    from datasketches_java_spark.kernels.tuple_compat import from_ref_bytes
+
+    sk = from_ref_bytes(
+        _bytes("CompactSketchWithDoubleSummary4K_serialVersion1.sk"), "double"
+    )
+    assert sk.is_estimation_mode()
+    assert sk.retained == 4096
+    assert (sk.values == 1.0).all()
+    assert abs(sk.estimate() - 8192) <= 8192 * 0.05  # tighter than ref's 0.99
+    # Theta invariant: every retained hash is below theta
+    assert int(sk.hashes.max()) < sk.theta_long
+
+
+@needs_res
+def test_tuple_legacy_v2_integer_summary_golden():
+    """TupleCrossLanguageTest.version2Compatibility: the 4k-trimmed
+    IntegerSummary sketch built from 2*4096 distinct keys."""
+    from datasketches_java_spark.kernels.tuple_compat import from_ref_bytes
+
+    sk = from_ref_bytes(
+        _bytes("TupleWithTestIntegerSummary4kTrimmedSerVer2.sk"), "integer4"
+    )
+    assert sk.is_estimation_mode()
+    assert sk.retained == 4096
+    assert abs(sk.estimate() - 8192) <= 8192 * 0.05
+    assert int(sk.hashes.max()) < sk.theta_long
