@@ -280,8 +280,8 @@ def _write_report(result: dict, lo: dict, hi: dict) -> None:
         "",
         "| parallelism | wall (s) | images/sec | all rep walls (s) |",
         "|---|---|---|---|",
-        f"| local[{lo['cores']}] | {lo['wall']} | {lo['rate']} | {lo.get('rep_walls')} |",
-        f"| local[{hi['cores']}] | {hi['wall']} | {hi['rate']} | {hi.get('rep_walls')} |",
+        f"| local[{lo['cores']}] | {lo['wall']} | {lo['rate']} | {sc.get('rep_walls_low', lo.get('rep_walls'))} |",
+        f"| local[{hi['cores']}] | {hi['wall']} | {hi['rate']} | {sc.get('rep_walls_high', hi.get('rep_walls'))} |",
         "",
         f"**Scaling efficiency** = (rate_high/rate_low) / (cores_high/cores_low)"
         f" = **{sc.get('efficiency')}** (target ≥ 0.8).",
