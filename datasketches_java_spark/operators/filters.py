@@ -44,17 +44,21 @@ def bloom_build(df: DataFrame, key_col: str, max_distinct: int,
 
     partials = keys.mapInPandas(partial, "sketch binary")
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        out = BloomFilter.deserialize(pdf["sketch"].iloc[0])
-        for b in pdf["sketch"].iloc[1:]:
-            out = out.union(BloomFilter.deserialize(b))
-        return pd.DataFrame({"sketch": [out.serialize()]})
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = None
+        for pdf in batches:
+            for b in pdf["sketch"]:
+                nxt = BloomFilter.deserialize(b)
+                out = nxt if out is None else out.union(nxt)
+        if out is not None:
+            yield pd.DataFrame({"sketch": [out.serialize()]})
 
-    return (
-        partials.withColumn("g", F.lit(1))
-        .groupBy("g").applyInPandas(merge, "sketch binary")
-        .select("sketch")
-    )
+    # repartition(1) (single round-robin reduce task over O(filter)-
+    # sized partial rows) instead of a groupBy(1) hash exchange whose
+    # 31 empty reduce tasks + grouped-map machinery dominated the
+    # build (NOT coalesce: that would collapse the parallel scan
+    # upstream into one task)
+    return partials.repartition(1).mapInPandas(merge, "sketch binary")
 
 
 def bloom_might_contain(
@@ -64,20 +68,25 @@ def bloom_might_contain(
     negatives — the exact confirm join downstream sees every true
     match, just ~fpp·|probe| extra rows)."""
     cols = probe.columns
-    with_k = probe.withColumn("__k", F.xxhash64(key_col)).crossJoin(
-        F.broadcast(bloom_df)
-    )
+    with_k = probe.withColumn("__k", F.xxhash64(key_col))
 
     schema = ", ".join(f"`{c}` {probe.schema[c].dataType.simpleString()}"
                        for c in cols)
 
+    # Spark-broadcast VARIABLE, not a crossJoin of the 1-row sketch
+    # frame: a crossJoin replicates the O(100KB) sketch bytes onto
+    # EVERY probe row, and the Python-UDF boundary then materializes
+    # |probe|·|sketch| Arrow bytes (measured 8s of a 9s probe at
+    # sf0.1). The broadcast ships the sketch once per executor. EAGER:
+    # collects the built filter at plan time.
+    blob = bytes(bloom_df.collect()[0]["sketch"])
+    bc = probe.sparkSession.sparkContext.broadcast(blob)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = None
+        bf = BloomFilter.deserialize(bc.value)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if bf is None:
-                bf = BloomFilter.deserialize(pdf["sketch"].iloc[0])
             ok = bf.query(pdf["__k"].to_numpy(np.int64).astype(np.uint64))
             yield pdf.loc[ok, cols]
 
@@ -108,27 +117,32 @@ def countmin_counts(
 
     partials = keys.select("k").mapInPandas(partial, "sketch binary")
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        out = CountMinSketch.deserialize(pdf["sketch"].iloc[0])
-        for b in pdf["sketch"].iloc[1:]:
-            out = out.merge(CountMinSketch.deserialize(b))
-        return pd.DataFrame({"sketch": [out.serialize()]})
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = None
+        for pdf in batches:
+            for b in pdf["sketch"]:
+                nxt = CountMinSketch.deserialize(b)
+                out = nxt if out is None else out.merge(nxt)
+        if out is not None:
+            yield pd.DataFrame({"sketch": [out.serialize()]})
 
-    merged = (
-        partials.withColumn("g", F.lit(1))
-        .groupBy("g").applyInPandas(merge, "sketch binary")
-        .select("sketch")
-    )
+    # single round-robin reduce task over the O(sketch) partials (see
+    # bloom_build note — a groupBy(1) exchange is mostly empty tasks)
+    merged = partials.repartition(1).mapInPandas(merge, "sketch binary")
 
-    distinct = keys.distinct().crossJoin(F.broadcast(merged))
+    distinct = keys.distinct()
+
+    # broadcast variable, not a crossJoin — the CM matrix is MBs and a
+    # crossJoin would replicate it onto every scored row through the
+    # Arrow boundary (see bloom_might_contain). EAGER at plan time.
+    blob = bytes(merged.collect()[0]["sketch"])
+    bc = items.sparkSession.sparkContext.broadcast(blob)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cm = None
+        cm = CountMinSketch.deserialize(bc.value)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if cm is None:
-                cm = CountMinSketch.deserialize(pdf["sketch"].iloc[0])
             est = cm.estimate(pdf["k"].to_numpy(np.int64).astype(np.uint64))
             yield pd.DataFrame({"item": pdf["item"], "cm_count": est})
 
