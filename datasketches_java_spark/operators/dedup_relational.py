@@ -75,14 +75,45 @@ def ssjoin_jaccard_pairs(
     ndocs = df.select(
         F.col(id_col).alias("id"), text.alias("txt")
     ).repartition(par)
+    sh = ndocs.select(
+        "id", F.explode(char_shingles(F.col("txt"), k)).alias("s")
+    ).select("id", F.xxhash64("s").alias("sh"))
+
+    # cheap pull-budget estimate WITHOUT exploding: total text chars is
+    # an upper bound on postings (one shingle per character position)
+    est = ndocs.agg(
+        F.count("*").alias("docs"), F.sum(F.length("txt")).alias("chars")
+    ).collect()[0]
+    n_docs_est, est_post = est["docs"] or 0, est["chars"] or 0
+    id_bytes = 8 if id_type in ("bigint", "int") else 64
+    pull_ok = 0 < est_post * (8 + id_bytes) <= _PULL_BUDGET_BYTES
+
+    bm = None
+    if pull_ok:
+        # ONE distributed explode pass straight to the driver (no
+        # persist, no separate stats pass — the pre-estimate above
+        # already bounded the pull)
+        bm = _collect_doc_bitmaps(sh)
+        if bm is not None and _dense_dict_allpairs_fits(bm):
+            # DENSE-DICTIONARY DEGENERATION: when the global distinct-
+            # shingle dictionary is tiny relative to the postings (the
+            # fixture corpus: 2k shingles over 1M postings), the prefix
+            # lemma stops pruning — almost every pair shares a "rare"
+            # shingle and the candidate self-join explodes (measured
+            # 2.95M candidates / 8.7s of a 9.5s query at sf0.1). The
+            # exact intersection of ALL pairs is then cheaper as one
+            # blocked BLAS matmul over the binary doc×shingle matrix
+            # (results identical; budget-gated, the distributed prefix
+            # join below remains the big-dictionary path).
+            return _allpairs_bitmap(df.sparkSession, bm, t, id_type)
+
     # the postings frame fans out to three plan references (freq, the
     # ranked join); Catalyst does not CSE across DataFrame reuse, so
     # without a persist the explode+hash of every shingle recomputes
     # per reference (the round-2 bench's worst query at 168s). At web
     # scale this is a checkpointed stage.
-    sh = ndocs.select(
-        "id", F.explode(char_shingles(F.col("txt"), k)).alias("s")
-    ).select("id", F.xxhash64("s").alias("sh")).persist()
+    sh = sh.persist()
+    _CACHE.append(sh)
 
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     from pyspark.sql import Window
@@ -126,8 +157,6 @@ def ssjoin_jaccard_pairs(
     #    exceed the broadcast budget): exact_rescore_pairs re-shingles
     #    the texts per pair (operators/rescore.py) — O(pairs) rows
     #    moved, scales to corpora whose docs can't sit on the driver.
-    _CACHE.append(sh)
-    bm = _collect_doc_bitmaps(sh)
     if bm is not None:
         return _verify_pairs_bitmap(cand, bm, t, id_type)
     return exact_rescore_pairs(
@@ -162,33 +191,17 @@ def release_ssjoin_cache() -> None:
 
 def _collect_doc_bitmaps(sh: DataFrame):
     """(id, sh) postings → (sorted ids, bitset matrix, set sizes) on
-    the driver, or None when over the broadcast budget."""
-    stats = sh.agg(
-        F.countDistinct("id").alias("docs"),
-        F.countDistinct("sh").alias("dict"),
-        F.count("*").alias("postings"),
-        F.avg(F.length(F.col("id").cast("string"))).alias("id_width"),
-    ).collect()[0]
-    n_docs, n_dict, n_post = stats["docs"], stats["dict"], stats["postings"]
-    if not n_docs:
-        return None
-    # budget checks BEFORE any collect: (a) bitset matrix size, (b) the
-    # raw postings bytes that must reach the driver — estimated as
-    # rows x (8B hash + id width + ~48B pandas object overhead for
-    # string ids), so wide string ids lower the admissible row count
-    # instead of OOMing the driver just under a row-count-only guard
-    id_bytes = 8 if dict(sh.dtypes)["id"] == "bigint" else (
-        float(stats["id_width"] or 8) + 48
-    )
-    if (
-        n_docs * ((n_dict + 63) // 64) * 8 > _BITMAP_BUDGET_BYTES
-        or n_post * (8 + id_bytes) > _PULL_BUDGET_BYTES
-    ):
-        return None
+    the driver, or None when the bitset matrix is over the broadcast
+    budget. The caller bounds the postings pull BEFORE this runs (the
+    chars-sum pre-estimate in ssjoin_jaccard_pairs), so this is one
+    distributed explode pass straight to the driver."""
     pdf = sh.toPandas()
+    if len(pdf) == 0:
+        return None
     ids = pdf["id"].to_numpy()
     hs = pdf["sh"].to_numpy(np.int64)
     D = np.unique(hs)
+    n_docs = pdf["id"].nunique()
     words = (len(D) + 63) // 64
     if n_docs * words * 8 > _BITMAP_BUDGET_BYTES:
         return None
@@ -209,6 +222,63 @@ def _collect_doc_bitmaps(sh: DataFrame):
         axis=1, dtype=np.int64
     )
     return uids, B, nset
+
+
+_DENSE_DICT_MAX = 4096        # dictionary size where the dense path wins
+_ALLPAIRS_BUDGET = 512 << 20  # bytes for the n² score tiles
+
+
+def _dense_dict_allpairs_fits(bm) -> bool:
+    uids, B, nset = bm
+    n, words = B.shape
+    return words * 64 <= _DENSE_DICT_MAX and n * n * 4 <= _ALLPAIRS_BUDGET
+
+
+def _allpairs_bitmap(spark, bm, threshold: float, id_type: str) -> DataFrame:
+    """Exact all-pairs shingle-set Jaccard from the doc bitsets via
+    blocked float32 matmul (intersections are exact integers < 2^24).
+    O(n²·dict) flops through BLAS — for a 5k-doc / 2k-shingle corpus
+    that is ~50 GFLOPs, far cheaper than shuffling millions of
+    degenerate prefix candidates."""
+    uids, B, nset = bm
+    n, words = B.shape
+    # binary doc × shingle matrix from the packed bitsets
+    bits = np.unpackbits(
+        B.view(np.uint8).reshape(n, words * 8), axis=1, bitorder="little"
+    ).astype(np.float32)
+    out_a, out_b, out_i = [], [], []
+    step = max(1, (_ALLPAIRS_BUDGET // 8) // max(bits.shape[1] * n, 1))
+    for s in range(0, n, step):
+        blk = bits[s:s + step] @ bits.T  # (b, n) exact intersections
+        ii, jj = np.nonzero(blk >= 1.0)
+        jj_ok = jj > (ii + s)  # upper triangle only
+        ii, jj = ii[jj_ok], jj[jj_ok]
+        inter = blk[ii, jj].astype(np.int64)
+        uni = nset[ii + s] + nset[jj] - inter
+        # division form, same float semantics as _verify_pairs_bitmap
+        # (a multiply form can flip exact-boundary pairs by one ulp)
+        keep = (inter / np.maximum(uni, 1)) >= threshold
+        out_a.append(ii[keep] + s)
+        out_b.append(jj[keep])
+        out_i.append(inter[keep])
+    ia = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    ib = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    inter = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+    uni = (nset[ia] + nset[ib] - inter) if len(ia) else np.empty(0, np.int64)
+    pdf = pd.DataFrame(
+        {
+            "id_a": uids[ia],
+            "id_b": uids[ib],
+            "intersect_ct": inter,
+            "union_ct": uni,
+            "jaccard_exact": inter / np.maximum(uni, 1),
+        }
+    )
+    schema = (
+        f"id_a {id_type}, id_b {id_type}, intersect_ct bigint, "
+        "union_ct bigint, jaccard_exact double"
+    )
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def _verify_pairs_bitmap(cand: DataFrame, bm, threshold: float, id_type: str) -> DataFrame:
