@@ -115,3 +115,24 @@ def phash64(img: np.ndarray) -> np.int64:
 
 def phash_batch(bufs: list[bytes]) -> np.ndarray:
     return np.array([phash64(decode(b)[0]) for b in bufs], dtype=np.int64)
+
+
+def phash64_batch_pixels(stack: np.ndarray) -> np.ndarray:
+    """Batched phash64 over a SAME-DIMENSION image stack (g, h, w, 3):
+    one broadcasted resize + one batched (d @ G) @ d.T BLAS pass for
+    the whole group instead of per-image 2D matmuls. Uses the same
+    association order as phash64, so results are bit-identical
+    (asserted in tests/test_corpus.py)."""
+    g, h, w, _ = stack.shape
+    gray = stack.astype(np.float64).mean(axis=3)
+    yi = (np.arange(32) * h // 32).clip(0, h - 1)
+    xi = (np.arange(32) * w // 32).clip(0, w - 1)
+    gs = gray[:, yi[:, None], xi[None, :]]
+    d = _dct_matrix(32)
+    coeffs = np.matmul(np.matmul(d, gs), d.T)
+    block = coeffs[:, :8, :8].reshape(g, 64)
+    med = np.median(block[:, 1:], axis=1)
+    bits = (block > med[:, None]).astype(np.uint8)
+    bits[:, 0] = (block[:, 0] > block[:, 1:].mean(axis=1)).astype(np.uint8)
+    packed = np.packbits(bits, axis=1)
+    return packed.view(">u8")[:, 0].astype(np.uint64).astype(np.int64)

@@ -32,36 +32,48 @@ def decode_features(df: DataFrame, batch_check_phash: bool = True) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
-                "stddev", "phash_check", "decode_ok")}
-            for iid, buf in zip(pdf["image_id"], pdf["bytes"]):
-                out["image_id"].append(iid)
+            n = len(pdf)
+            # decode is inherently per-image (codec boundary); ALL
+            # pixel math after it batches over same-dimension stacks
+            imgs: list = [None] * n
+            w = np.zeros(n, np.int32)
+            h = np.zeros(n, np.int32)
+            fmt = np.full(n, "unknown", dtype=object)
+            ok = np.zeros(n, bool)
+            for i, buf in enumerate(pdf["bytes"]):
                 try:
                     img, meta = codec.decode(bytes(buf))
-                    m = img.reshape(-1, 3).mean(axis=0)
-                    out["w"].append(meta["w"])
-                    out["h"].append(meta["h"])
-                    out["fmt"].append(meta["fmt"])
-                    out["mean_r"].append(float(m[0]))
-                    out["mean_g"].append(float(m[1]))
-                    out["mean_b"].append(float(m[2]))
-                    out["stddev"].append(float(img.std()))
-                    out["phash_check"].append(
-                        int(codec.phash64(img)) if batch_check_phash else 0
-                    )
-                    out["decode_ok"].append(True)
+                    imgs[i] = img
+                    w[i], h[i], fmt[i] = meta["w"], meta["h"], meta["fmt"]
+                    ok[i] = True
                 except NotImplementedError:
-                    out["w"].append(0)
-                    out["h"].append(0)
-                    out["fmt"].append("unknown")
-                    out["mean_r"].append(0.0)
-                    out["mean_g"].append(0.0)
-                    out["mean_b"].append(0.0)
-                    out["stddev"].append(0.0)
-                    out["phash_check"].append(0)
-                    out["decode_ok"].append(False)
-            yield pd.DataFrame(out)
+                    pass
+            mean_rgb = np.zeros((n, 3))
+            std = np.zeros(n)
+            ph = np.zeros(n, np.int64)
+            by_shape: dict = {}
+            for i in np.nonzero(ok)[0]:
+                by_shape.setdefault(imgs[i].shape, []).append(int(i))
+            for idxs in by_shape.values():
+                A = np.stack([imgs[i] for i in idxs]).astype(np.float64)
+                mean_rgb[idxs] = A.mean(axis=(1, 2))
+                std[idxs] = A.reshape(len(idxs), -1).std(axis=1)
+                if batch_check_phash:
+                    ph[idxs] = codec.phash64_batch_pixels(
+                        np.stack([imgs[i] for i in idxs])
+                    )
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "w": w, "h": h, "fmt": fmt,
+                    "mean_r": mean_rgb[:, 0],
+                    "mean_g": mean_rgb[:, 1],
+                    "mean_b": mean_rgb[:, 2],
+                    "stddev": std,
+                    "phash_check": ph,
+                    "decode_ok": ok,
+                }
+            )
 
     return df.select("image_id", "bytes").mapInPandas(gen, DECODE_FEATURES_SCHEMA)
 

@@ -154,3 +154,16 @@ def test_structural_golden_matches_full_ssjoin():
     struct = _structural_golden_pairs(light, FROZEN, 0.8)
     full = exact_jaccard_pairs(plan["image_id"], plan["caption"], FROZEN)
     assert set(zip(struct.id_a, struct.id_b)) == set(zip(full.id_a, full.id_b))
+
+
+def test_phash_batch_pixels_bit_identical():
+    import numpy as np
+
+    from datasketches_java_spark.corpus import codec
+
+    rng = np.random.default_rng(13)
+    for shape in ((32, 32), (48, 64), (17, 129)):
+        stack = rng.integers(0, 256, (9, *shape, 3), dtype=np.uint8)
+        batch = codec.phash64_batch_pixels(stack)
+        single = np.array([codec.phash64(stack[i]) for i in range(9)])
+        assert np.array_equal(batch, single), shape
