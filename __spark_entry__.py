@@ -439,6 +439,19 @@ def _q_embedding_topk_lsh(spark, sf_dir):
     return lsh_topk_cosine(emb, "vec_id", "embedding", 5, n_planes=6, n_tables=8)
 
 
+def _q_embedding_topk_ivf(spark, sf_dir):
+    """IVF-flat ANN over the embedding table (the driver brief's 'IVF
+    or LSH-bucketed variant as the scale path' — this is the IVF lane;
+    LSH lane = embedding_topk_lsh). Deterministic hash-chosen coarse
+    centroids, ids-only cell join, vectors re-joined once for scoring.
+    Rows-only gate; recall contracts pytest-gated
+    (tests/test_operators.py::test_ivf_topk_recall)."""
+    from datasketches_java_spark.operators.similarity import ivf_topk_cosine
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_topk_cosine(emb, "vec_id", "embedding", 5, n_probe=6)
+
+
 def _q_embedding_topk_lsh_recall(spark, sf_dir):
     """Oracle-checked recall gate for the ANN lane (round-3 verdict #3):
     every exact cosine top-5 pair must be recovered by the bucketed SRP
@@ -597,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "cpc_users_by_type": _q_cpc_users_by_type,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "embedding_topk_ivf": _q_embedding_topk_ivf,
         "corpus_clusters_multichannel": _q_corpus_clusters_multichannel,
         "varopt_cluster_sample": _q_varopt_cluster_sample,
     }

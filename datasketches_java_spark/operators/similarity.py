@@ -378,3 +378,85 @@ def lsh_topk_cosine(
         .filter(F.col("rank") <= topk)
         .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivf_topk_cosine(
+    df: DataFrame, id_col: str, vec_col: str, topk: int = 5,
+    n_cells: int | None = None, n_probe: int = 4, seed: int = 9001,
+) -> DataFrame:
+    """IVF-flat approximate nearest neighbors: a deterministic coarse
+    quantizer (n_cells ≈ √n centroid vectors chosen by smallest
+    xxhash64(id) — reproducible across runs/executors; k-means
+    refinement is a quality knob that slots in here) partitions the
+    corpus into cells; every vector is INDEXED in its nearest cell and
+    each query PROBES its n_probe nearest cells, scoring exact cosine
+    only within probed cells. The classic recall dial: recall rises
+    with n_probe, compute ~ n·d·n_cells (assignment matmul) +
+    n·(n/n_cells)·n_probe·d (scoring).
+
+    Scale shape mirrors lsh_topk_cosine: the cell join and pair dedup
+    move (id, cell) int pairs ONLY; vectors join back once per side
+    onto deduped candidate pairs. The centroid matrix (√n·d floats) is
+    a Spark broadcast variable. EAGER: centroid selection collects at
+    plan-construction time."""
+    sess = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_cells is None:
+        n_rows = src.count()
+        n_cells = max(4, int(np.ceil(np.sqrt(max(n_rows, 1)))))
+    n_probe = min(n_probe, n_cells)
+
+    cent_pdf = (
+        src.withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("__h").limit(n_cells).select("v").toPandas()
+    )
+    C = np.stack(cent_pdf["v"].to_numpy()).astype(np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    bc = sess.sparkContext.broadcast(C)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        Cm = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        S = X @ Cm.T
+        p = min(n_probe, S.shape[1])
+        top = np.argpartition(-S, p - 1, axis=1)[:, :p]
+        # order probes by similarity so probe[0] is the index cell
+        row = np.arange(len(X))[:, None]
+        order = np.argsort(-S[row, top], axis=1, kind="stable")
+        return pd.Series(list(np.take_along_axis(top, order, axis=1).astype(np.int32)))
+
+    probed = src.select("id", _probe_cells(F.col("v")).alias("cells"))
+    indexed = probed.select("id", F.element_at("cells", 1).alias("cell"))
+    queries = probed.select(
+        F.col("id").alias("vec_id"), F.explode("cells").alias("cell")
+    )
+    cand = (
+        queries.join(indexed.withColumnRenamed("id", "neighbor_id"), "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    va = src.select(F.col("id").alias("vec_id"), F.col("v").alias("va"))
+    vb = src.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "vec_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "vec_id", "neighbor_id",
+            _cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

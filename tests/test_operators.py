@@ -257,3 +257,36 @@ def test_phash_mih_pipeline_candidates(spark):
         assert tuple(sorted(p)) in with_mih, f"missed {p} with MIH on"
     without = cands(DedupConfig(phash_mih=False))
     assert tuple(sorted(planted[5])) not in without  # spread-8 invisible to block pairs
+
+
+def test_ivf_topk_recall(spark, smoke_sf_dir):
+    """IVF-flat contracts: probing EVERY cell is exhaustive (recall
+    1.0 vs the exact ranking by construction); a partial probe keeps
+    deterministic recall above the fixture floor."""
+    import numpy as np
+
+    from datasketches_java_spark.operators.similarity import (
+        brute_force_topk_cosine, ivf_topk_cosine,
+    )
+
+    emb = spark.read.parquet(f"{smoke_sf_dir}/embeddings.parquet")
+    n = emb.count()
+    exact = brute_force_topk_cosine(emb, "vec_id", "embedding", 3).toPandas()
+    full = ivf_topk_cosine(
+        emb, "vec_id", "embedding", 3, n_cells=8, n_probe=8
+    ).toPandas()
+    e = set(zip(exact.vec_id, exact.neighbor_id))
+    f = set(zip(full.vec_id, full.neighbor_id))
+    assert e == f  # all-cells probe == exhaustive search
+
+    part = ivf_topk_cosine(
+        emb, "vec_id", "embedding", 3, n_cells=8, n_probe=3
+    ).toPandas()
+    p = set(zip(part.vec_id, part.neighbor_id))
+    recall = len(e & p) / len(e)
+    assert recall >= 0.5, recall  # deterministic fixture floor
+    # structural contracts
+    assert (part.vec_id != part.neighbor_id).all()
+    assert part.groupby("vec_id")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))
+    ).all()
