@@ -20,6 +20,11 @@ from ..config import FROZEN, DedupConfig
 from .generate import build_golden_light, plan_corpus, write_corpus
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not os.path.isdir(_REPO_ROOT):
+    # imported from a spark-submit --py-files zip: __file__ points
+    # inside engine.zip; anchor the cache at the submit working dir
+    # (cluster runs set SPARK_GRAFT_CORPUS_CACHE to a shared path)
+    _REPO_ROOT = os.getcwd()
 CACHE_ROOT = os.environ.get(
     "SPARK_GRAFT_CORPUS_CACHE", os.path.join(_REPO_ROOT, "data", "corpus")
 )
