@@ -77,6 +77,13 @@ def _stage(
         if root is not None:
             tables.write_checkpoint(df, root, name)
             df = tables.read_checkpoint(spark, root, name)
+            # per-partition lineage + metrics side-table (north rule):
+            # one row per checkpointed partition, traceable to the
+            # (config, corpus) identity that produced it
+            tables.write_partition_metrics(
+                df, root, name,
+                lineage={"lineage_key": os.path.basename(root)},
+            )
         metrics[f"{name}_resumed"] = False
     if persist and root is None:
         df = df.persist()

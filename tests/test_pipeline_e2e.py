@@ -83,3 +83,26 @@ def test_signature_stage_prunes_bytes_column(spark, smoke_sf_dir, result):
     plan = compute_signatures(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "bytes" not in plan
     assert "caption" in plan
+
+
+def test_checkpoint_partition_metrics_table(spark, smoke_sf_dir, tmp_path):
+    """North-rule lineage: every checkpointed stage writes a
+    per-partition metrics side-table whose row counts reconcile with
+    the stage output and whose lineage key pins (config, corpus)."""
+    import os
+
+    from datasketches_java_spark.config import FROZEN
+    from datasketches_java_spark.plans.pipeline import run_pipeline
+    from datasketches_java_spark.sources import tables as T
+    from datasketches_java_spark.sources.tables import read_partition_metrics
+
+    corpus = T.load_corpus(spark, smoke_sf_dir)
+    root = str(tmp_path / "ckpt_pm")
+    res = run_pipeline(spark, corpus, FROZEN, checkpoint_root=root)
+    sub = os.path.join(root, os.listdir(root)[0])
+    for stage in ("signatures", "candidates", "verified", "clusters"):
+        pm = read_partition_metrics(spark, sub, stage).toPandas()
+        assert (pm["stage"] == stage).all()
+        assert pm["n_rows"].sum() == res.metrics[f"{stage}_rows"]
+        assert pm["partition_id"].is_unique
+        assert (pm["lineage_key"] == os.path.basename(sub)).all()
