@@ -174,17 +174,21 @@ _CACHE: list = []
 
 
 def release_ssjoin_cache() -> None:
-    """Unpersist the postings frame and destroy the bitmap broadcast
-    left alive by the last `ssjoin_jaccard_pairs` call. Safe to call
-    any time; the returned DataFrame recomputes (uncached) if executed
-    after release."""
+    """Unpersist the postings frame and the bitmap broadcast left alive
+    by the last `ssjoin_jaccard_pairs` call. Safe to call any time; the
+    returned DataFrame recomputes (uncached) if executed after release.
+    Broadcasts are unpersisted, never destroyed: a prior call's result
+    that hasn't been materialized yet still closes over its broadcast,
+    and `unpersist` only evicts executor copies (tasks re-fetch from
+    the driver), where `destroy` would fail that plan hard (round-4
+    advice)."""
     while _CACHE:
         h = _CACHE.pop()
         try:
             if isinstance(h, DataFrame):
                 h.unpersist()
             else:
-                h.destroy()
+                h.unpersist(blocking=False)
         except Exception:
             pass  # session already stopped
 
@@ -283,8 +287,13 @@ def _allpairs_bitmap(spark, bm, threshold: float, id_type: str) -> DataFrame:
 
 def _verify_pairs_bitmap(cand: DataFrame, bm, threshold: float, id_type: str) -> DataFrame:
     """Exact Jaccard per candidate pair from broadcast bitsets."""
+    from ._bc import register
+
     uids, B, nset = bm
-    bc = cand.sparkSession.sparkContext.broadcast((uids, B, nset))
+    bc = register(
+        "ssjoin_bitmap",
+        cand.sparkSession.sparkContext.broadcast((uids, B, nset)),
+    )
     _CACHE.append(bc)
     schema = (
         f"id_a {id_type}, id_b {id_type}, intersect_ct bigint, "

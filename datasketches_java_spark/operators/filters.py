@@ -79,8 +79,18 @@ def bloom_might_contain(
     # |probe|·|sketch| Arrow bytes (measured 8s of a 9s probe at
     # sf0.1). The broadcast ships the sketch once per executor. EAGER:
     # collects the built filter at plan time.
-    blob = bytes(bloom_df.collect()[0]["sketch"])
-    bc = probe.sparkSession.sparkContext.broadcast(blob)
+    rows = bloom_df.collect()
+    if not rows:
+        # empty build side ⇒ the filter contains nothing ⇒ admit nothing
+        # (the old crossJoin formulation returned empty here; indexing
+        # [0] would raise at plan-construction time)
+        return probe.filter(F.lit(False))
+    blob = bytes(rows[0]["sketch"])
+    from ._bc import register
+
+    bc = register(
+        "bloom_probe", probe.sparkSession.sparkContext.broadcast(blob)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bf = BloomFilter.deserialize(bc.value)
@@ -135,8 +145,18 @@ def countmin_counts(
     # broadcast variable, not a crossJoin — the CM matrix is MBs and a
     # crossJoin would replicate it onto every scored row through the
     # Arrow boundary (see bloom_might_contain). EAGER at plan time.
-    blob = bytes(merged.collect()[0]["sketch"])
-    bc = items.sparkSession.sparkContext.broadcast(blob)
+    rows = merged.collect()
+    if not rows:
+        # empty input ⇒ no distinct items to score
+        return items.sparkSession.createDataFrame(
+            [], "item string, cm_count bigint"
+        )
+    blob = bytes(rows[0]["sketch"])
+    from ._bc import register
+
+    bc = register(
+        "countmin_score", items.sparkSession.sparkContext.broadcast(blob)
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cm = CountMinSketch.deserialize(bc.value)

@@ -53,13 +53,40 @@ def _dot(a, b):
     )
 
 
-def _matrix_fits(df: DataFrame, id_col: str, vec_col: str) -> bool:
+def _matrix_fits(
+    df: DataFrame, id_col: str, vec_col: str, exact_bits: int = 53
+) -> bool:
+    """True when the (ids, int64 matrix) broadcast fits the budget.
+
+    Also enforces the integer-exactness contract the oracle depends on
+    (round-4 advice): with components quantized to 1e6, a dot product
+    is exact only while d·max_q² stays under 2^exact_bits (53 for the
+    cos_q path, whose dot must convert losslessly to float64; 62 for
+    the raw-int64 IP path, leaving a sign bit + headroom for the int64
+    matmul). Components large enough to break that raise instead of
+    silently hash-mismatching the oracle — the crossJoin fallback has
+    the identical quantized arithmetic, so falling back would not help.
+    EAGER: one count/max aggregate at plan-construction time.
+    """
+    row = df.select(
+        F.count("*").alias("n"),
+        F.max(F.size(vec_col)).alias("d"),
+        F.max(
+            F.array_max(
+                F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+            )
+        ).alias("mx"),
+    ).collect()[0]
+    n, d, mx = row["n"] or 0, row["d"] or 0, row["mx"] or 0.0
+    max_q = int(round(mx * QUANT)) + 1
+    if n and d and d * max_q * max_q >= (1 << exact_bits):
+        raise ValueError(
+            f"integer-exact quantized scores need d*max_q^2 < 2^{exact_bits} "
+            f"(d={d}, max|component|~{mx:.3g} -> max_q={max_q}); rescale the "
+            "embeddings or lower QUANT"
+        )
     if dict(df.dtypes)[id_col] not in ("bigint", "int"):
         return False  # matmul path packs ids as int64
-    row = df.select(
-        F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
-    ).collect()[0]
-    n, d = row["n"] or 0, row["d"] or 0
     return 0 < n * d * 8 + n * 8 <= _MATRIX_BUDGET_BYTES
 
 
@@ -110,9 +137,11 @@ def _topk_scored_batches(bc, topk: int, score_fn, id_dtype):
 def _topk_broadcast(
     df: DataFrame, id_col: str, vec_col: str, topk: int, score_fn, score_name: str
 ) -> DataFrame:
+    from ._bc import register
+
     ids, M = _collect_quantized(df, id_col, vec_col)
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((ids, M))
+    bc = register(f"topk_matrix_{score_name}", sc.broadcast((ids, M)))
     id_type = dict(df.dtypes)[id_col]
     q = _quantized(df, id_col, vec_col)
     par = sc.defaultParallelism
@@ -149,7 +178,7 @@ def brute_force_topk_ip(
     Broadcast-matmul plan when the matrix fits (one scan, no shuffle);
     crossJoin+window fallback above the budget. EAGER: the plan choice
     runs a count at construction time."""
-    if _matrix_fits(df, id_col, vec_col):
+    if _matrix_fits(df, id_col, vec_col, exact_bits=62):
         return _topk_broadcast(df, id_col, vec_col, topk, _ip_scores, "dot_q") \
             .select("vec_id", "neighbor_id", "dot_q", "rank")
     qa = _quantized(df, id_col, vec_col).select(
@@ -397,8 +426,11 @@ def ivf_topk_cosine(
     Scale shape mirrors lsh_topk_cosine: the cell join and pair dedup
     move (id, cell) int pairs ONLY; vectors join back once per side
     onto deduped candidate pairs. The centroid matrix (√n·d floats) is
-    a Spark broadcast variable. EAGER: centroid selection collects at
-    plan-construction time."""
+    a Spark broadcast variable. EAGER: plan construction runs Spark
+    jobs — a full `count()` when n_cells is None (pass n_cells
+    explicitly to avoid it) and the centroid TopK+collect (orderBy+
+    limit compiles to TakeOrderedAndProject, O(n_cells) per task, not
+    a global sort)."""
     sess = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_cells is None:
@@ -410,9 +442,11 @@ def ivf_topk_cosine(
         src.withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
         .orderBy("__h").limit(n_cells).select("v").toPandas()
     )
+    from ._bc import register
+
     C = np.stack(cent_pdf["v"].to_numpy()).astype(np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-    bc = sess.sparkContext.broadcast(C)
+    bc = register("ivf_centroids", sess.sparkContext.broadcast(C))
 
     from pyspark.sql.functions import pandas_udf
 

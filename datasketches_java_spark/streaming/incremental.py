@@ -191,8 +191,13 @@ def run_incremental_signatures(
             json.dump({"buckets": new_map}, f)
         os.replace(mpath + ".tmp", mpath)
         _flip_current(state_dir, manifest_name)
-        # GC: delete version dirs no bucket references any more
-        referenced = set(new_map.values())
+        # GC with a one-generation grace period (round-4 advice): keep
+        # every version referenced by the NEW manifest or the PREVIOUS
+        # one, so a concurrent read_state_estimates that resolved the
+        # prior CURRENT pointer never has its bucket files deleted
+        # mid-read; versions older than one generation are unreachable
+        # from any pointer a reader could still hold.
+        referenced = set(new_map.values()) | set(prev_map.values())
         for d in os.listdir(state_dir):
             if (
                 (d.startswith("delta_v") or d.startswith("state_v"))
