@@ -129,6 +129,67 @@ def kll_quantile_agg(
     return partials.groupBy(group_col).applyInPandas(final, schema)
 
 
+def kll_items_quantile_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[tuple[int, int]] = ((1, 2), (99, 100)),
+    k: int = DEFAULT_K,
+    seed: int = 9001,
+) -> DataFrame:
+    """Per-group ITEM-TYPED (string) KLL quantiles — the distributed
+    face of kernels/kll_items.py (reference kll/KllItemsSketch.java:45
+    with an ArrayOfStringsSerDe; sorted-view queries per
+    quantilescommon/ItemsSketchSortedView.java). Answers "p99 caption
+    by lexicographic order" — inexpressible with the doubles kernel.
+    Same two-level shape as kll_quantile_agg: mapInPandas partial
+    (one O(k) sketch per batch×group crosses the shuffle) →
+    applyInPandas final merge + integer-rank-fraction queries. String
+    order is identical across Python/Spark/DuckDB (UTF-8 binary
+    collation), so the exact regime (n ≤ k per group) is
+    SQL-oracle-able; lossy-regime rank error is the type-agnostic
+    2.446/k^0.9433 contract, pytest-gated (tests/test_kll_items.py).
+
+    Output: (group, n, q_p_q... as strings). NULL values are skipped
+    (the reference's update(null) no-op)."""
+    from ..kernels.kll_items import KllItems
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_g, out_s = [], []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                sk = KllItems(k=k, seed=seed)
+                sk.update_many(
+                    [v for v in sub[value_col] if v is not None]
+                )
+                out_g.append(g)
+                out_s.append(sk.serialize_strings())
+            yield pd.DataFrame({group_col: out_g, "sketch": out_s})
+
+    partials = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(value_col).cast("string").alias(value_col),
+    ).mapInPandas(partial, f"{group_col} string, sketch binary")
+
+    qcols = [f"q_{p}_{q}" for p, q in quantiles]
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KllItems.deserialize_strings(bytes(pdf["sketch"].iloc[0]), seed=seed)
+        for b in pdf["sketch"].iloc[1:]:
+            sk.merge(KllItems.deserialize_strings(bytes(b), seed=seed))
+        row = {group_col: [key[0]], "n": [sk.n]}
+        for (p, q), name in zip(quantiles, qcols):
+            row[name] = [sk.get_quantile_frac(p, q)]
+        return pd.DataFrame(row)
+
+    schema = f"{group_col} string, n bigint, " + ", ".join(
+        f"{c} string" for c in qcols
+    )
+    return partials.groupBy(group_col).applyInPandas(final, schema)
+
+
 def ks_pairwise(sketches: DataFrame, group_col: str = "group",
                 sketch_col: str = "sketch", seed: int = 9001) -> DataFrame:
     """All-pairs two-sample Kolmogorov-Smirnov D over per-group KLL

@@ -1,0 +1,201 @@
+"""Item-typed KLL quantile sketch (generic total order).
+
+The reference ships per-primitive KLL clones plus a generic-order
+variant (kll/KllItemsSketch.java:45, comparator + ArrayOfItemsSerDe;
+sorted-view queries quantilescommon/ItemsSketchSortedView.java) so a
+user can ask "p99 caption by LEXICOGRAPHIC order" — a query the
+doubles kernel cannot express. This is that variant re-expressed the
+way kernels/kll.py re-expresses KllDoublesSketch: identical level
+structure (level-0 buffer, geometric capacity decay c=2/3 floor 8,
+sort + random-halve promotion, weight 2^h at level h — compaction
+kll/KllHelper.java analog of KllDoublesHelper.java:58-108, merge
+:134-196), but items live in object arrays ordered by Python's
+comparison operator — for str that is Unicode code-point order, which
+equals UTF-8 byte order (UTF-8 is order-preserving), i.e. the same
+binary collation Spark and DuckDB use for strings. That shared order
+is what lets the exact-regime gate query compare hash-exactly against
+a SQL oracle.
+
+Deterministic randomness divergence (SURVEY.md §4): the halving coin
+is a counter-based hash of (seed, compaction index), not the
+reference's process-global Random — Spark task retries must be
+idempotent.
+
+Error contract: same as the doubles kernel — normalized rank error
+2.446/k^0.9433 at 99% confidence (kll/KllHelper.java:295-299); KLL's
+analysis is item-type-agnostic (only the comparator matters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash64
+from .kll import DEFAULT_K, _C, _MIN_CAP
+
+
+def _obj(items) -> np.ndarray:
+    a = np.empty(len(items), dtype=object)
+    a[:] = list(items)
+    return a
+
+
+_EMPTY = _obj([])
+
+
+class KllItems:
+    """Heap KLL sketch over arbitrary totally-ordered Python items
+    (strings in the Spark face). Structure mirrors kernels/kll.py's
+    KllDoubles; see module docstring for the reference mapping."""
+
+    def __init__(self, k: int = DEFAULT_K, seed: int = 9001):
+        self.k = k
+        self.seed = seed
+        self.levels: list[np.ndarray] = [_EMPTY.copy()]
+        self.n = 0
+        self._compactions = 0
+
+    def _cap(self, level: int) -> int:
+        depth = len(self.levels) - 1 - level
+        return max(_MIN_CAP, int(np.ceil(self.k * (_C**depth))))
+
+    def _total_cap(self) -> int:
+        return sum(self._cap(h) for h in range(len(self.levels)))
+
+    def _coin(self) -> bool:
+        self._compactions += 1
+        h = hash64(np.array([self._compactions], dtype=np.uint64), self.seed)[0]
+        return bool(h & np.uint64(1))
+
+    def update_many(self, items) -> "KllItems":
+        vals = [v for v in items if v is not None]
+        if not vals:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], _obj(vals)])
+        self.n += len(vals)
+        self._compress()
+        return self
+
+    def update(self, v) -> "KllItems":
+        return self.update_many([v])
+
+    def _num_items(self) -> int:
+        return sum(len(lv) for lv in self.levels)
+
+    def _compress(self) -> None:
+        while self._num_items() > self._total_cap():
+            target = None
+            for h in range(len(self.levels)):
+                if len(self.levels[h]) > self._cap(h):
+                    target = h
+                    break
+            if target is None:
+                target = 0
+            buf = self.levels[target][
+                np.argsort(self.levels[target], kind="stable")
+            ]
+            start = 1 if self._coin() else 0
+            promoted = buf[start::2]
+            self.levels[target] = _EMPTY.copy()
+            if target + 1 >= len(self.levels):
+                self.levels.append(_EMPTY.copy())
+            self.levels[target + 1] = np.concatenate(
+                [self.levels[target + 1], promoted]
+            )
+
+    def merge(self, other: "KllItems") -> "KllItems":
+        for h, items in enumerate(other.levels):
+            while h >= len(self.levels):
+                self.levels.append(_EMPTY.copy())
+            self.levels[h] = np.concatenate([self.levels[h], items])
+        self.n += other.n
+        self._compress()
+        return self
+
+    # --- queries (ItemsSketchSortedView.java:120-151 analog) ---
+
+    def _sorted_view(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for h, lv in enumerate(self.levels):
+            if len(lv):
+                items.append(lv)
+                weights.append(np.full(len(lv), 2**h, dtype=np.int64))
+        if not items:
+            return _EMPTY.copy(), np.empty(0, np.int64)
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], wt[order]
+
+    def get_quantile_frac(self, p: int, q: int):
+        """min v with q·cumweight(v) >= p·n — the INCLUSIVE criterion
+        (quantilescommon/QuantileSearchCriteria.java:41) in exact
+        integer rank math, so exact-regime answers are SQL-oracle-able."""
+        it, wt = self._sorted_view()
+        if len(it) == 0:
+            return None
+        cum = np.cumsum(wt)
+        idx = int(np.searchsorted(q * cum, p * self.n, side="left"))
+        return it[min(idx, len(it) - 1)]
+
+    def get_quantile(self, rank: float):
+        it, wt = self._sorted_view()
+        if len(it) == 0:
+            return None
+        cum = np.cumsum(wt)
+        idx = int(np.searchsorted(cum, rank * self.n, side="left"))
+        return it[min(idx, len(it) - 1)]
+
+    def get_rank(self, value) -> float:
+        """Normalized rank of `value`, inclusive criterion."""
+        it, wt = self._sorted_view()
+        if len(it) == 0:
+            return float("nan")
+        cum = np.cumsum(wt)
+        idx = int(np.searchsorted(it, value, side="right"))
+        return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
+
+    # --- string serde (shuffle format; length-prefixed UTF-8) ---
+
+    def serialize_strings(self) -> bytes:
+        """Compact shuffle image for str-typed sketches: int64 header
+        (magic, ver, k, n, n_levels, compactions) + per level
+        (count:int32, then count × (len:int32, utf8 bytes)). This is
+        the partial→final exchange format, not the reference's
+        ArrayOfStringsSerDe wire layout."""
+        parts = [
+            np.array(
+                [0x4B4C4C53, 1, self.k, self.n, len(self.levels),
+                 self._compactions],
+                dtype="<i8",
+            ).tobytes()
+        ]
+        for lv in self.levels:
+            enc = [s.encode("utf-8") for s in lv]
+            parts.append(np.array([len(enc)], dtype="<i4").tobytes())
+            for b in enc:
+                parts.append(np.array([len(b)], dtype="<i4").tobytes())
+                parts.append(b)
+        return b"".join(parts)
+
+    @classmethod
+    def deserialize_strings(cls, buf: bytes, seed: int = 9001) -> "KllItems":
+        head = np.frombuffer(buf[:48], dtype="<i8")
+        if head[0] != 0x4B4C4C53 or head[1] != 1:
+            raise ValueError("bad KLL-items image")
+        sk = cls(k=int(head[2]), seed=seed)
+        sk.n = int(head[3])
+        sk._compactions = int(head[5])
+        sk.levels = []
+        off = 48
+        for _ in range(int(head[4])):
+            cnt = int(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])
+            off += 4
+            out = []
+            for _ in range(cnt):
+                ln = int(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])
+                off += 4
+                out.append(buf[off:off + ln].decode("utf-8"))
+                off += ln
+            sk.levels.append(_obj(out))
+        return sk

@@ -356,9 +356,46 @@ def srp_bucket(vec, n_planes: int = 16, seed: int = 9001):
     return out.cast("bigint")
 
 
+def _lsh_candidates(
+    src: DataFrame, n_planes: int | None, n_tables: int, seed: int,
+    bucket_cap: int, target_bucket: int,
+) -> DataFrame:
+    """(id, v) → deduped candidate (vec_id, neighbor_id) pairs via the
+    capped multi-table bucket join (see lsh_topk_cosine's BOUNDED
+    BUCKET JOIN notes). Split out so the O(g·cap) pair bound is
+    directly testable (tests/test_operators.py)."""
+    if n_planes is None:
+        n = src.count()
+        n_planes = int(
+            min(24, max(1, np.ceil(np.log2(max(n, 2) / target_bucket))))
+        )
+    with_b = src.select(
+        "id",
+        F.posexplode(
+            srp_buckets_array(F.col("v"), n_planes, n_tables, seed)
+        ).alias("table_idx", "bucket"),
+    )
+    a = with_b.select(F.col("id").alias("vec_id"), "table_idx", "bucket")
+    wcap = Window.partitionBy("table_idx", "bucket").orderBy(
+        F.xxhash64(F.col("id"), F.lit(seed ^ 0x5EED)), F.col("id")
+    )
+    b = (
+        with_b.withColumn("__r", F.row_number().over(wcap))
+        .filter(F.col("__r") <= bucket_cap)
+        .select(F.col("id").alias("neighbor_id"), "table_idx", "bucket")
+    )
+    return (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+
+
 def lsh_topk_cosine(
     df: DataFrame, id_col: str, vec_col: str, topk: int = 5,
-    n_planes: int = 4, n_tables: int = 8, seed: int = 9001,
+    n_planes: int | None = None, n_tables: int = 8, seed: int = 9001,
+    bucket_cap: int = 1024, target_bucket: int = 128,
 ) -> DataFrame:
     """Multi-table bucketed ANN: L independent SRP tables; candidates
     are pairs sharing a bucket in ANY table; exact cosine within
@@ -373,21 +410,30 @@ def lsh_topk_cosine(
     scoring (the same two-join pattern the signature verify stage
     uses). At 100×-scale embedding tables this is the difference
     between shuffling ids and shuffling the corpus.
+
+    BOUNDED BUCKET JOIN (round 4 verdict #2 — was the last O(g²)
+    scale hole): two mechanisms, mirroring the text lane's cap-and-
+    degrade policy (operators/lsh.py):
+
+    - n_planes=None derives the bucket count from the corpus size —
+      ceil(log2(n / target_bucket)) planes ⇒ average bucket ≈
+      target_bucket regardless of n, instead of the old fixed 64
+      buckets/table that at 10⁸ vectors meant ~10⁶-member buckets.
+      EAGER: the derivation runs one count() at plan time (pass
+      n_planes explicitly to avoid it).
+    - the NEIGHBOR side of the per-bucket self-join is capped at
+      bucket_cap members per (table, bucket), chosen by deterministic
+      hash rank — a skew backstop (e.g. a mass of identical vectors)
+      that bounds any bucket's pair count to g·bucket_cap = O(g).
+      The QUERY side stays uncapped, so every vector still receives
+      candidates; a capped bucket degrades recall only for ties the
+      multi-table OR usually recovers. The cap's row_number window
+      partitions on the same (table_idx, bucket) key as the join, so
+      AQE reuses one exchange.
     """
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    with_b = src.select(
-        "id",
-        F.posexplode(
-            srp_buckets_array(F.col("v"), n_planes, n_tables, seed)
-        ).alias("table_idx", "bucket"),
-    )
-    a = with_b.select(F.col("id").alias("vec_id"), "table_idx", "bucket")
-    b = with_b.select(F.col("id").alias("neighbor_id"), "table_idx", "bucket")
-    cand = (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-        .dropDuplicates(["vec_id", "neighbor_id"])
+    cand = _lsh_candidates(
+        src, n_planes, n_tables, seed, bucket_cap, target_bucket
     )
     va = src.select(F.col("id").alias("vec_id"), F.col("v").alias("va"))
     vb = src.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"))

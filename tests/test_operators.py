@@ -290,3 +290,53 @@ def test_ivf_topk_recall(spark, smoke_sf_dir):
     assert part.groupby("vec_id")["rank"].apply(
         lambda s: sorted(s) == list(range(1, len(s) + 1))
     ).all()
+
+
+def test_lsh_bucket_join_bounded_on_skew(spark):
+    """Round-4 verdict #2: the ANN per-bucket self-join must be O(g·cap),
+    not O(g²), under adversarial skew. Fixture: 200 IDENTICAL vectors —
+    every table hashes them all into ONE bucket. With bucket_cap=8 the
+    candidate pair count must be ≤ n·cap (each query sees at most the
+    cap'd neighbor set, the same deterministic members in every table);
+    uncapped it would be n·(n-1) = 39,800."""
+    import numpy as np
+
+    from datasketches_java_spark.operators.similarity import (
+        _lsh_candidates, lsh_topk_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    n, cap = 200, 8
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    cand = _lsh_candidates(
+        df, n_planes=2, n_tables=4, seed=9001, bucket_cap=cap,
+        target_bucket=128,
+    )
+    n_pairs = cand.count()
+    assert 0 < n_pairs <= n * cap, n_pairs
+
+    # every query still receives candidates and a ranked top-k
+    out = lsh_topk_cosine(
+        df, "id", "v", topk=3, n_planes=2, n_tables=4, bucket_cap=cap
+    ).toPandas()
+    assert out.vec_id.nunique() == n
+    assert (out.groupby("vec_id").size() <= 3).all()
+
+
+def test_lsh_adaptive_planes_scale_with_n(spark):
+    """n_planes=None derives bucket count from corpus size: average
+    bucket ≈ target_bucket instead of a fixed 64 buckets/table."""
+    import numpy as np
+
+    from datasketches_java_spark.operators.similarity import lsh_topk_cosine
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    # target 32 ⇒ ceil(log2(300/32)) = 4 planes ⇒ 16 buckets/table;
+    # just assert the derived config produces a full ranked result
+    out = lsh_topk_cosine(
+        df, "id", "v", topk=2, n_tables=6, target_bucket=32
+    ).toPandas()
+    assert out.vec_id.nunique() >= 290  # near-all queries covered
