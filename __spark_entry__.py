@@ -607,26 +607,63 @@ def _q_varopt_cluster_sample(spark, sf_dir):
     """VarOpt weighted QA sample (reference S2,
     sampling/VarOptItemsSketch.java via kernels/varopt.py): sample
     clusters proportional to size; heavy clusters kept exactly —
-    the 'which duplicates should a human look at' operator."""
+    the 'which duplicates should a human look at' operator.
+
+    ORACLE-CHECKED (round-4 verdict #8, the EBPPS full-budget trick):
+    gate config k=4096 ≥ the cluster count at every gate tier, the
+    tau = ∞ regime (VarOptItemsSketch.java:472) where the sample is
+    deterministically the FULL weighted set with adj_weight == true
+    weight — over the caption-exact clusters, whose golden parquet the
+    oracle reads. The two-level union must preserve exactness end to
+    end for the row to hash-match. The sub-budget sampling regime
+    (unbiasedness, tau monotonicity) stays pytest-gated
+    (tests/test_sampling.py)."""
     from datasketches_java_spark.functions.sketch_udfs import varopt_sample_agg
 
-    _, res = _corpus_result(spark, sf_dir)
     clusters = (
-        res.clusters.filter(F.col("cluster_size") > 1)
+        _q_corpus_clusters(spark, sf_dir)
+        .filter(F.col("cluster_size") > 1)
         .select("cluster_id", "cluster_size").distinct()
         .withColumn("bucket", F.lit("all"))
     )
     return varopt_sample_agg(
-        clusters, "bucket", "cluster_id", "cluster_size", k=64
+        clusters, "bucket", "cluster_id", "cluster_size", k=4096
     )
 
 
 def _q_corpus_clusters_multichannel(spark, sf_dir):
     """The full pipeline's clusters (caption + SimHash + pHash channels
-    merged): strictly coarser than the caption-exact clustering, so no
-    SQL oracle — golden-cover invariants are pytest-gated."""
+    merged): strictly coarser than the caption-exact clustering, so the
+    membership itself has no SQL oracle — the COARSENESS INVARIANT is
+    oracle-checked by corpus_clusters_multichannel_cover below."""
     _, res = _corpus_result(spark, sf_dir)
     return res.clusters.filter(F.col("cluster_size") > 1)
+
+
+def _q_corpus_clusters_multichannel_cover(spark, sf_dir):
+    """Oracle-checked invariant for the multichannel clustering
+    (round-4 verdict #7, the recall-gate trick): the multichannel edge
+    set is a SUPERSET of the caption-exact edges, so every golden
+    (caption-exact) cluster must land ENTIRELY inside one multichannel
+    cluster. Spark emits (n_golden_clusters, n_covered); the oracle
+    derives n_golden_clusters from the golden parquet and asserts
+    n_covered equals it. Deterministic under the frozen config — a
+    regression in any channel's signature, band join, verify stage, or
+    the union graph splits some golden cluster and flips the count."""
+    _, res = _corpus_result(spark, sf_dir)
+    mc = res.clusters.select("image_id", F.col("cluster_id").alias("mc_id"))
+    golden = _q_corpus_clusters(spark, sf_dir).filter(
+        F.col("cluster_size") > 1
+    ).select("image_id", "cluster_id")
+    per = (
+        golden.join(mc, "image_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("mc_id").alias("n_mc"))
+    )
+    return per.agg(
+        F.count("*").alias("n_golden_clusters"),
+        F.sum((F.col("n_mc") == 1).cast("bigint")).alias("n_covered"),
+    )
 
 
 def _q_corpus_cluster_audits(spark, sf_dir):
@@ -684,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_pairs": _q_corpus_dup_pairs,
         "corpus_clusters": _q_corpus_clusters,
         "corpus_cluster_audits": _q_corpus_cluster_audits,
+        "corpus_clusters_multichannel_cover": _q_corpus_clusters_multichannel_cover,
+        "varopt_cluster_sample": _q_varopt_cluster_sample,
         # rows-only (non-SQL-expressible sketch/LSH ops; accuracy
         # contracts pytest-gated — HLL vs reference error tables,
         # LSH-ANN recall vs brute force, multi-channel cluster cover)
@@ -692,7 +731,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
         "corpus_clusters_multichannel": _q_corpus_clusters_multichannel,
-        "varopt_cluster_sample": _q_varopt_cluster_sample,
     }
 
 
@@ -860,6 +898,25 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clusters": f"""
             SELECT image_id, cluster_id, CAST(cluster_size AS INT) AS cluster_size
             FROM read_parquet('{golden_clusters}')
+        """,
+        "corpus_clusters_multichannel_cover": f"""
+            -- multichannel coarseness invariant: every caption-exact
+            -- golden cluster must sit inside ONE multichannel cluster,
+            -- so n_covered == n_golden_clusters
+            SELECT CAST(count(*) AS BIGINT) AS n_golden_clusters,
+                   CAST(count(*) AS BIGINT) AS n_covered
+            FROM (SELECT cluster_id
+                  FROM read_parquet('{golden_clusters}')
+                  WHERE cluster_size > 1 GROUP BY cluster_id)
+        """,
+        "varopt_cluster_sample": f"""
+            -- VarOpt full-budget (tau = inf) regime: the sample IS the
+            -- full weighted set with adj_weight == true weight
+            SELECT 'all' AS bucket, cluster_id,
+                   CAST(cluster_size AS DOUBLE) AS adj_weight
+            FROM (SELECT DISTINCT cluster_id, cluster_size
+                  FROM read_parquet('{golden_clusters}')
+                  WHERE cluster_size > 1)
         """,
         "corpus_cluster_audits": f"""
             -- discrete inclusive quantiles with integer rank fractions:

@@ -122,15 +122,23 @@ def serialize_compact(
 def deserialize_compact(
     buf: bytes, seed: int = DEFAULT_SEED, check_seed: bool = True
 ) -> tuple[np.ndarray, int, bool]:
-    """v3 compact image → (ordered hashes, thetaLong, empty). Accepts
+    """Compact image → (ordered hashes, thetaLong, empty). Accepts
     every v3 form: empty, single-item, exact, estimating — including
-    images produced by other DataSketches implementations."""
+    images produced by other DataSketches implementations — plus the
+    LEGACY serial version 1 and 2 migration forms (see
+    _deserialize_legacy), giving theta the same old-image story the
+    classic-quantiles (Q1) and tuple (serVer 1/2) readers already
+    have."""
     if len(buf) < 8:
         raise ValueError("truncated theta image")
     pre_longs, ser_ver, fam, _, _, flags, seed_hash = struct.unpack_from(
         "<BBBBBBH", buf, 0
     )
     pre_longs &= 0x3F  # upper 2 bits are the resize factor (update forms)
+    if ser_ver in (1, 2):
+        return _deserialize_legacy(
+            buf, ser_ver, pre_longs, seed_hash, seed, check_seed
+        )
     if ser_ver != SER_VER:
         raise ValueError(f"unsupported theta serial version {ser_ver}")
     if fam != FAMILY_COMPACT:
@@ -149,5 +157,51 @@ def deserialize_compact(
     else:
         (theta_long,) = struct.unpack_from("<q", buf, 16)
         off = 24
+    h = np.frombuffer(buf, dtype="<i8", count=n, offset=off).astype(np.int64)
+    return h, int(theta_long), False
+
+
+def _deserialize_legacy(
+    buf: bytes, ser_ver: int, pre_longs: int, seed_hash: int,
+    seed: int, check_seed: bool,
+) -> tuple[np.ndarray, int, bool]:
+    """Heapify the pre-v3 compact layouts, per the historical library's
+    documented conversion rules (the original ForwardCompatibility
+    heapify1to3/heapify2to3 semantics; this reference snapshot dropped
+    the converter but still carries the serVer-1 emptiness rule at
+    theta/ThetaSketch.java:592-599: empty ⇔ thetaLong == Long.MAX_VALUE
+    && retainedEntries == 0, because v1 images have NO flags byte):
+
+    serVer 1 — preamble is ALWAYS 3 longs; no flags, no reliable seed
+      hash (commonly zero — never validated, matching the historical
+      reader): curCount int at bytes 8-11, thetaLong at 16-23, ordered
+      entries from byte 24. Empty ⇔ curCount == 0 && theta == MAX.
+
+    serVer 2 — seed hash at bytes 6-7 (validated); preLongs encodes
+      the form: 1 ⇒ empty; 2 ⇒ exact (theta = MAX, entries from byte
+      16); 3 ⇒ estimating (thetaLong at 16-23, entries from byte 24);
+      curCount int at bytes 8-11 for preLongs >= 2."""
+    if ser_ver == 1:
+        if len(buf) < 24:
+            raise ValueError("truncated theta v1 image")
+        (n,) = struct.unpack_from("<i", buf, 8)
+        (theta_long,) = struct.unpack_from("<q", buf, 16)
+        if n == 0 and theta_long == LONG_MAX:
+            return np.empty(0, np.int64), LONG_MAX, True
+        h = np.frombuffer(buf, dtype="<i8", count=n, offset=24).astype(np.int64)
+        return h, int(theta_long), False
+    # serVer 2
+    if check_seed and seed_hash != compute_seed_hash(seed):
+        raise ValueError("seed hash mismatch")
+    if pre_longs == 1:
+        return np.empty(0, np.int64), LONG_MAX, True
+    (n,) = struct.unpack_from("<i", buf, 8)
+    if pre_longs == 2:
+        theta_long, off = LONG_MAX, 16
+    elif pre_longs == 3:
+        (theta_long,) = struct.unpack_from("<q", buf, 16)
+        off = 24
+    else:
+        raise ValueError(f"bad theta v2 preLongs {pre_longs}")
     h = np.frombuffer(buf, dtype="<i8", count=n, offset=off).astype(np.int64)
     return h, int(theta_long), False

@@ -85,6 +85,75 @@ _SUMMARY_CODECS = {
 }
 
 
+def from_ref_union_bytes(buf: bytes, check_seed_hash: int | None = None) -> LegacyTupleSketch:
+    """Parse the v0.9.1 ArrayOfDoublesUnion image — the last of the 17
+    in-tree goldens (ArrayOfDoublesUnion_v0.9.1.sk). The historical
+    union serialized its GADGET QuickSelect sketch directly (the
+    union's theta folded into the gadget's theta field), with NO
+    16-byte union preamble — which is exactly why the modern reader
+    throws (TupleCrossLanguageTest.noSupportHeapifyV0_9_1 EXPECTS
+    SketchesArgumentException; ArrayOfDoublesUnion.heapify finds no
+    nested serVer==1 gadget at offset 16). The gadget layout itself is
+    unchanged to this day (ArrayOfDoublesQuickSelectSketch.java:38-53
+    byte map; writer HeapArrayOfDoublesQuickSelectSketch.java:230-254):
+
+      byte0 preambleLongs(1), byte1 serVer(1), byte2 family(9 TUPLE),
+      byte3 sketchType(2 = ArrayOfDoublesQuickSelectSketch ordinal,
+      SerializerDeserializer.java:42-52), byte4 flags {RESERVED=1,
+      SAMPLING=2, EMPTY=4, HAS_ENTRIES=8} (ArrayOfDoublesSketch.java:42),
+      byte5 numValues, bytes6-7 seedHash, bytes8-15 thetaLong,
+      byte16 lgNom, byte17 lgCurCapacity, byte18 lgResizeFactor,
+      bytes20-23 samplingP float, bytes24-27 retainedEntries,
+      byte32: keys long[2^lgCurCapacity] OPEN HASH TABLE (0 = empty
+      slot), then values double[2^lgCurCapacity · numValues] in slot
+      order.
+
+    Returns the compacted state (non-empty slots, keys sorted) as a
+    LegacyTupleSketch — the same (hash, summary) lane the compact
+    readers feed. For numValues > 1 the FIRST value column lands in
+    `values`; the full matrix is attached as `.values_all`."""
+    pre_longs, version, fam, stype = buf[0], buf[1], buf[2], buf[3]
+    if fam != _FAMILY_TUPLE:
+        raise ValueError(f"not a tuple image (family {fam})")
+    if stype != 2:  # ArrayOfDoublesQuickSelectSketch ordinal
+        raise ValueError(f"not an ArrayOfDoubles QS/union image (type {stype})")
+    if version != 1:
+        raise ValueError(f"unsupported AoD serial version {version}")
+    flags, num_values = buf[4], buf[5]
+    seed_hash = int(np.frombuffer(buf[6:8], dtype="<u2")[0])
+    if check_seed_hash is not None and seed_hash != check_seed_hash:
+        raise ValueError("seed hash mismatch")
+    theta = int(np.frombuffer(buf[8:16], dtype="<i8")[0])
+    empty = bool(flags & 4)
+    lg_cap = buf[17]
+    retained = int(np.frombuffer(buf[24:28], dtype="<i4")[0])
+    cap = 1 << lg_cap
+    if not (flags & 8) or retained == 0:
+        return LegacyTupleSketch(
+            np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64),
+            theta, empty,
+        )
+    keys = np.frombuffer(buf, dtype="<i8", count=cap, offset=32)
+    vals = np.frombuffer(
+        buf, dtype="<f8", count=cap * num_values, offset=32 + 8 * cap
+    ).reshape(cap, num_values)
+    live = keys != 0
+    if int(live.sum()) != retained:
+        raise ValueError(
+            f"corrupted AoD table: {int(live.sum())} live slots, "
+            f"header says {retained}"
+        )
+    order = np.argsort(keys[live], kind="stable")
+    sk = LegacyTupleSketch(
+        keys[live][order].astype(np.int64),
+        vals[live][order][:, 0].astype(np.float64),
+        np.zeros(retained, np.int64),
+        theta, empty,
+    )
+    sk.values_all = vals[live][order].astype(np.float64)
+    return sk
+
+
 def from_ref_bytes(buf: bytes, summary: str = "double") -> LegacyTupleSketch:
     """Parse a legacy (serVer 1/2) CompactTupleSketch image."""
     pre_longs, version, fam, _stype = buf[0], buf[1], buf[2], buf[3]

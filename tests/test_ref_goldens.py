@@ -232,3 +232,39 @@ def test_tuple_legacy_v2_integer_summary_golden():
     assert sk.retained == 4096
     assert abs(sk.estimate() - 8192) <= 8192 * 0.05
     assert int(sk.hashes.max()) < sk.theta_long
+
+
+@needs_res
+def test_arrayofdoubles_union_v091_golden():
+    """The 17th and final in-tree golden: ArrayOfDoublesUnion_v0.9.1.sk.
+    The reference ITSELF refuses this image (TupleCrossLanguageTest.
+    noSupportHeapifyV0_9_1 expects SketchesArgumentException) because
+    the historical union serialized its gadget QuickSelect sketch
+    directly with no union preamble; the gadget byte map is unchanged
+    (ArrayOfDoublesQuickSelectSketch.java:38-53), so the state is
+    fully recoverable."""
+    import numpy as np
+
+    from datasketches_java_spark.kernels.mmh3 import compute_seed_hash
+    from datasketches_java_spark.kernels.tuple_compat import (
+        from_ref_union_bytes,
+    )
+
+    buf = _bytes("ArrayOfDoublesUnion_v0.9.1.sk")
+    sk = from_ref_union_bytes(buf, check_seed_hash=compute_seed_hash(9001))
+    # header facts, verified against the raw bytes: estimating-mode
+    # union gadget, nominal 4096, 8192-slot table, 1 double per key
+    assert sk.is_estimation_mode()
+    assert sk.retained == 4096
+    assert not sk.empty
+    # theta invariant + open-table compaction correctness
+    assert int(sk.hashes.max()) < sk.theta_long
+    assert (sk.hashes > 0).all()
+    assert len(np.unique(sk.hashes)) == sk.retained
+    # a nominal-4096 QS gadget trimmed at 2^63*theta: the source stream
+    # had ~retained/theta distinct keys; the estimate must be finite,
+    # positive, and consistent with the header fields
+    est = sk.estimate()
+    assert est > sk.retained
+    assert np.isfinite(sk.values).all()
+    assert sk.values_all.shape == (4096, 1)

@@ -129,3 +129,73 @@ def test_string_and_long_lanes_disjoint_but_mergeable():
     buf = tc.serialize_compact(np.sort(u))
     h, th, _ = tc.deserialize_compact(buf)
     assert th == tc.LONG_MAX and len(h) == 8
+
+
+# --- legacy serial version 1/2 migration forms (round-4 verdict #5;
+# fixture bytes hand-built per the historical layouts — the same
+# treatment tuple/classic-quantiles goldens got) ---
+
+def _v1_image(hashes, theta_long) -> bytes:
+    """serVer 1: always 3 preamble longs, no flags/seed hash."""
+    head = struct.pack("<BBBBBBH", 3, 1, 3, 0, 0, 0, 0)
+    head += struct.pack("<if", len(hashes), 0.0)
+    head += struct.pack("<q", theta_long)
+    return head + np.asarray(hashes, dtype="<i8").tobytes()
+
+
+def _v2_image(hashes, theta_long, seed_hash) -> bytes:
+    """serVer 2: preLongs 1 empty / 2 exact / 3 estimating."""
+    if len(hashes) == 0 and theta_long == tc.LONG_MAX:
+        return struct.pack("<BBBBBBH", 1, 2, 3, 0, 0, 0, seed_hash)
+    pre = 2 if theta_long == tc.LONG_MAX else 3
+    head = struct.pack("<BBBBBBH", pre, 2, 3, 0, 0, 0, seed_hash)
+    head += struct.pack("<if", len(hashes), 0.0)
+    if pre == 3:
+        head += struct.pack("<q", theta_long)
+    return head + np.asarray(hashes, dtype="<i8").tobytes()
+
+
+def test_legacy_v1_forms_heapify_to_v3_state():
+    hs = np.sort(tc.hash_longs(np.arange(50)))
+    for hashes, theta in [
+        (np.empty(0, np.int64), tc.LONG_MAX),   # v1 empty rule
+        (hs, tc.LONG_MAX),                      # exact
+    ]:
+        h, t, empty = tc.deserialize_compact(_v1_image(hashes, theta))
+        h3, t3, e3 = tc.deserialize_compact(tc.serialize_compact(hashes, theta))
+        np.testing.assert_array_equal(h, h3)
+        assert (t, empty) == (t3, e3)
+    # v1 estimating
+    ehs, eth = tc.build_theta(tc.hash_longs(np.arange(5000)), k=128)
+    h, t, empty = tc.deserialize_compact(_v1_image(ehs, eth))
+    np.testing.assert_array_equal(h, ehs)
+    assert t == eth and not empty
+
+
+def test_legacy_v2_forms_heapify_to_v3_state():
+    sh = compute_seed_hash(9001)
+    hs = np.sort(tc.hash_longs(np.arange(50)))
+    ehs, eth = tc.build_theta(tc.hash_longs(np.arange(5000)), k=128)
+    for hashes, theta in [
+        (np.empty(0, np.int64), tc.LONG_MAX),
+        (hs, tc.LONG_MAX),
+        (ehs, eth),
+    ]:
+        h, t, empty = tc.deserialize_compact(_v2_image(hashes, theta, sh))
+        h3, t3, e3 = tc.deserialize_compact(tc.serialize_compact(hashes, theta))
+        np.testing.assert_array_equal(h, h3)
+        assert (t, empty) == (t3, e3)
+
+
+def test_legacy_v2_seed_hash_validated_v1_not():
+    hs = np.sort(tc.hash_longs(np.arange(10)))
+    # v2 with a wrong seed hash must be rejected ...
+    bad = _v2_image(hs, tc.LONG_MAX, 0xBEEF)
+    try:
+        tc.deserialize_compact(bad)
+        assert False, "v2 wrong seed hash accepted"
+    except ValueError:
+        pass
+    # ... while v1 images (seed hash commonly zero) are not validated
+    h, t, empty = tc.deserialize_compact(_v1_image(hs, tc.LONG_MAX))
+    assert len(h) == len(hs) and not empty
