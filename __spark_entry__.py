@@ -687,6 +687,54 @@ def _q_corpus_cluster_audits(spark, sf_dir):
     )
 
 
+def _q_simhash_dup_docs(spark, sf_dir):
+    """SimHash Hamming-distance near-dup pairs (Charikar STOC 2002;
+    the angular-distance twin of the reference's Jaccard-pair use case,
+    theta/JaccardSimilarity.java:57-98). EXACT pair set: banded
+    pigeonhole candidates + bit_count verify, so the brute-force DuckDB
+    twin matches hash-for-hash — the md5-prefix token hash is the
+    engine-neutral determinism contract."""
+    from datasketches_java_spark.operators.dedup_text import simhash_dup_pairs
+
+    return (
+        simhash_dup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            "hamming",
+        )
+    )
+
+
+def _q_substring_dup_pairs(spark, sf_dir):
+    """Exact common-substring (L=24) containment pairs — the
+    suffix-window dedup variant (verbatim boilerplate/template spans)
+    as a distributed window self-join."""
+    from datasketches_java_spark.operators.dedup_text import substring_dup_pairs
+
+    return substring_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", min_len=24
+    ).select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        "n_shared",
+    )
+
+
+def _q_embedding_cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs at threshold 0.4 — the
+    similarity-join face of the dedup brief. Same integer-exact cosine
+    contract as embedding_topk_cosine (bit-identical across engines)."""
+    from datasketches_java_spark.operators.similarity import cosine_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.4).select(
+        F.col("id_a").alias("vec_id_a"),
+        F.col("id_b").alias("vec_id_b"),
+        "cos_q",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked (DuckDB twin below)
@@ -723,6 +771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cluster_audits": _q_corpus_cluster_audits,
         "corpus_clusters_multichannel_cover": _q_corpus_clusters_multichannel_cover,
         "varopt_cluster_sample": _q_varopt_cluster_sample,
+        "simhash_dup_docs": _q_simhash_dup_docs,
+        "substring_dup_pairs": _q_substring_dup_pairs,
+        "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         # rows-only (non-SQL-expressible sketch/LSH ops; accuracy
         # contracts pytest-gated — HLL vs reference error tables,
         # LSH-ANN recall vs brute force, multi-channel cluster cover)
@@ -1220,5 +1271,74 @@ def oracle_sql() -> dict[str, str]:
                    min(v) FILTER (WHERE 2*cum >= n) AS text_p50,
                    min(v) FILTER (WHERE 100*cum >= 99*n) AS text_p99
             FROM w GROUP BY source
+        """,
+        "simhash_dup_docs": """
+            -- brute-force twin of the banded Spark plan: 60-bit
+            -- SimHash from md5-prefix token hashes (the engine-neutral
+            -- determinism contract), pairs at Hamming <= 3. The Spark
+            -- side's pigeonhole bands are a lossless candidate
+            -- generator at this budget, so the two pair sets must be
+            -- identical, not merely similar.
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+              FROM toks
+            ), votes AS (
+              SELECT doc_id, g.b AS b,
+                     sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, generate_series(0, 59) AS g(b)
+              GROUP BY doc_id, g.b
+            ), sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                         ELSE CAST(0 AS BIGINT) END) AS s
+              FROM votes GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "substring_dup_pairs": """
+            WITH subs AS (
+              SELECT doc_id,
+                     unnest(list_distinct([substring(text, i, 24)
+                       for i in generate_series(1, length(text) - 23)])) AS sub
+              FROM documents WHERE length(text) >= 24
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM subs a JOIN subs b
+              ON a.sub = b.sub AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """,
+        "embedding_cosine_dup_pairs": """
+            -- same integer-exact cosine CTE as embedding_topk_cosine,
+            -- thresholded at round(0.4e9) instead of top-k'd
+            WITH v AS (
+              SELECT vec_id AS id,
+                     [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                        for x in embedding] AS q
+              FROM embeddings
+            ), nrm AS (
+              SELECT id, q,
+                     CAST(list_sum([x * x for x in q]) AS BIGINT) AS nq
+              FROM v
+            ), scored AS (
+              SELECT a.id AS vec_id_a, b.id AS vec_id_b,
+                     CAST(round(
+                       (1000000000.0 * CAST(list_sum([a.q[i] * b.q[i]
+                           for i in generate_series(1, len(a.q))]) AS DOUBLE))
+                       / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))
+                     ) AS BIGINT) AS cos_q
+              FROM nrm a JOIN nrm b ON a.id < b.id
+            )
+            SELECT vec_id_a, vec_id_b, cos_q FROM scored
+            WHERE cos_q >= 400000000
         """,
     }

@@ -1,0 +1,155 @@
+"""SimHash and exact-substring near-dup pair operators over a text
+column.
+
+These are the two dedup variants from the pipeline brief that had no
+first-class oracle-checked face: the corpus pipeline uses SimHash as a
+candidate *channel* (operators/signatures.py, kernels/simhash.py) and
+rolling-hash fingerprints for containment, but neither was exposed as
+a standalone, deterministically-verifiable operator over an arbitrary
+documents table. Both faces here are pure JVM column programs — no
+Python in the hot path, whole-stage codegen end to end.
+
+SimHash grounding: Charikar, "Similarity estimation techniques from
+rounding algorithms" (STOC 2002). Not present in the reference
+(SURVEY.md §2a note); the Hamming-pair face mirrors the reference's
+Jaccard-pair use case (theta/JaccardSimilarity.java:57-98) on the
+angular-distance channel.
+
+Determinism contract (what makes the DuckDB oracle possible): the
+per-token hash is the first 15 hex chars of md5(token) — a 60-bit
+integer both engines derive identically from the same UTF-8 bytes —
+and the signature bit rule is strictly-positive vote sum. No seeds,
+no engine-private hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 60
+
+# 60-bit SimHash over the DISTINCT whitespace tokens of lower(text).
+# Bit b votes +1 when bit b of the token's 60-bit md5-prefix hash is
+# set, else -1; signature bit b is 1 iff the vote sum is > 0 (ties ->
+# 0). Everything below is Catalyst built-ins: the shift amounts are
+# lambda variables, which the SQL ShiftRight/ShiftLeft expressions
+# accept (the Python F.shiftright wrapper only takes literals).
+_SIG_TEMPLATE = """
+aggregate(
+  transform(
+    array_distinct(split(trim(lower({text})), '\\\\s+')),
+    t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+  array_repeat(cast(0 as int), 60),
+  (acc, h) -> zip_with(acc, sequence(0, 59),
+                       (v, b) -> v + cast(shiftright(h, b) % 2 as int) * 2 - 1),
+  acc -> aggregate(
+    zip_with(acc, sequence(0, 59),
+             (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b),
+                          cast(0 as bigint))),
+    cast(0 as bigint), (s, x) -> s + x))
+"""
+
+
+def simhash60(text_sql: str = "text") -> F.Column:
+    """60-bit SimHash signature column over a text column/expression
+    (SQL fragment, e.g. a column name)."""
+    return F.expr(_SIG_TEMPLATE.format(text=text_sql))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= max_hamming —
+    EXACT, not approximate: the signature is split into
+    (max_hamming + 1) disjoint bands, and by pigeonhole any pair
+    within the Hamming budget agrees on at least one whole band, so
+    the banded self-join is a lossless candidate generator; the
+    bit_count(xor) filter then makes the result the exact pair set.
+    (Same block-pigeonhole scheme as the corpus pHash channel,
+    operators/signatures.py; Norouzi et al., "Multi-Index Hashing",
+    CVPR 2012.)
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    Scale shape: one hash-shuffle on the int64 band key; rows are
+    (id int64, sig int64, bk int64) — fixed-width, no strings move.
+    Hot bands (e.g. a sea of empty docs all hashing to signature 0)
+    degrade O(g^2) like any LSH bucket; production corpora go through
+    the capped pipeline lane (operators/lsh.py:96-115 hot-group
+    policy). 60/(d+1) must be a whole band width.
+    """
+    n_bands = max_hamming + 1
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(f"max_hamming+1={n_bands} must divide {SIMHASH_BITS}")
+    w = SIMHASH_BITS // n_bands
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash60(text_col).alias("sig")
+    )
+    bands = sig.selectExpr(
+        "id",
+        "sig",
+        f"explode(transform(sequence(0, {n_bands - 1}), "
+        f"  b -> cast(b as bigint) * {1 << w} + shiftright(sig, b * {w}) % {1 << w}"
+        f")) AS bk",
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bk"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bk"
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("cast(bit_count(sig_a ^ sig_b) as int)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 24,
+) -> DataFrame:
+    """Pairs of documents sharing at least one exact common substring
+    of length `min_len`, with the count of distinct shared windows —
+    the suffix-array/containment dedup variant (verbatim boilerplate,
+    quoted spans, injected templates) expressed as a window self-join.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b; n_shared counts
+    DISTINCT length-`min_len` windows the two documents share.
+
+    Plan: explode each document's distinct character windows, one
+    shuffle on the window key, aggregate pair counts. Exact by
+    construction (the join key IS the substring). Scale shape: window
+    count is O(total chars); at the 100 TB tier the production
+    variant keys the shuffle on a Rabin-Karp/xxhash64 of the window
+    (int64-only exchange, ids join back for the verify) — the corpus
+    pipeline's shingle lane (operators/signatures.py) is that shape;
+    here the string key keeps the operator oracle-transparent, and
+    equality-verify comes free.
+    """
+    subs = df.filter(F.length(text_col) >= min_len).selectExpr(
+        f"{id_col} AS id",
+        f"explode(array_distinct(transform("
+        f"  sequence(1, length({text_col}) - {min_len - 1}),"
+        f"  i -> substring({text_col}, i, {min_len})))) AS sub",
+    )
+    a = subs.select(F.col("id").alias("id_a"), "sub")
+    b = subs.select(F.col("id").alias("id_b"), "sub")
+    return (
+        a.join(b, "sub")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

@@ -286,6 +286,89 @@ def brute_force_topk_cosine_q(
     )
 
 
+def _pair_scored_batches(bc, thr_q: int, score_fn, id_dtype):
+    """mapInPandas generator: score each batch against the broadcast
+    matrix, emit every (a < b) pair at or above the quantized
+    threshold. The b×n score tile lives only inside the worker; output
+    is O(qualifying pairs)."""
+
+    def gen(batches):
+        ids_b, M = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qid = pdf["id"].to_numpy(np.int64)
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            S = score_fn(Q, M)  # (b, n)
+            mask = (S >= thr_q) & (qid[:, None] < ids_b[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": qid[r].astype(id_dtype),
+                    "id_b": ids_b[c].astype(id_dtype),
+                    "cos_q": S[r, c],
+                }
+            )
+
+    return gen
+
+
+def cosine_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (id_a < id_b) pair
+    with integer-quantized cosine >= threshold — the embedding channel
+    of the dedup brief as a first-class thresholded similarity join.
+
+    Score contract is identical to brute_force_topk_cosine_q
+    (round(1e9·cos) over 1e6-quantized components: exact int64
+    dot/norms, one correctly-rounded IEEE division), so the DuckDB
+    oracle matches bit-for-bit. Threshold compares in the quantized
+    domain (cos_q >= round(1e9·threshold)).
+
+    Plan: broadcast-matmul under the budget (one scan, no shuffle;
+    each Arrow batch emits only its qualifying pairs — the b×n tile
+    never leaves the worker). Over budget: crossJoin+filter exact
+    fallback; the approximate 100 TB lane is lsh_topk_cosine's SRP
+    bucketing + this same exact rescore within buckets.
+    """
+    thr_q = int(round(threshold * COS_QUANT))
+    if _matrix_fits(df, id_col, vec_col):
+        from ._bc import register
+
+        ids, M = _collect_quantized(df, id_col, vec_col)
+        sc = df.sparkSession.sparkContext
+        bc = register("cosine_pairs_matrix", sc.broadcast((ids, M)))
+        id_type = dict(df.dtypes)[id_col]
+        q = _quantized(df, id_col, vec_col)
+        return q.repartition(sc.defaultParallelism).mapInPandas(
+            _pair_scored_batches(bc, thr_q, _cos_q_scores, np.int64),
+            f"id_a {id_type}, id_b {id_type}, cos_q bigint",
+        )
+    qa = _quantized(df, id_col, vec_col).select(
+        F.col("id").alias("id_a"), F.col("q").alias("qa")
+    )
+    qb = _quantized(df, id_col, vec_col).select(
+        F.col("id").alias("id_b"), F.col("q").alias("qb")
+    )
+    nq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    ).cast("double")
+    return (
+        qa.crossJoin(qb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.lit(float(COS_QUANT)) * _dot(F.col("qa"), F.col("qb")).cast("double")
+                / F.sqrt(nq(F.col("qa")) * nq(F.col("qb")))
+            ).cast("bigint").alias("cos_q"),
+        )
+        .filter(F.col("cos_q") >= F.lit(thr_q))
+    )
+
+
 def _srp_planes(d: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     """Deterministic ±1 hyperplane tensor (d, n_tables·n_planes) from
     mix64 over (component, table, plane) indices — every executor
