@@ -93,6 +93,92 @@ def to_ref_bytes(sk: FrequentItems, lg_max_map_size: int | None = None) -> bytes
     )
 
 
+def _serde_strings(items) -> bytes:
+    """ArrayOfStringsSerDe.serializeToByteArray(String[]) —
+    common/ArrayOfStringsSerDe.java:62-82: per item an int32 LE
+    UTF-8 byte length followed by the UTF-8 bytes."""
+    parts = []
+    for s in items:
+        b = s.encode("utf-8")
+        parts.append(struct.pack("<i", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def _deserde_strings(buf: bytes, offset: int, n_items: int) -> list[str]:
+    """ArrayOfStringsSerDe.deserializeFromMemorySegment
+    (common/ArrayOfStringsSerDe.java:89-107)."""
+    out = []
+    pos = offset
+    for _ in range(n_items):
+        if pos + 4 > len(buf):
+            raise ValueError("truncated string-items section")
+        (ln,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        if ln < 0 or pos + ln > len(buf):
+            raise ValueError("corrupt string length in items section")
+        out.append(buf[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    return out
+
+
+def to_ref_bytes_items(sk: FrequentItems, lg_max_map_size: int | None = None) -> bytes:
+    """FrequentItemsSketch<String> serial-v1 image
+    (frequencies/FrequentItemsSketch.java:498-540 toByteArray with
+    ArrayOfStringsSerDe): same preamble as the longs form, then
+    activeItems VALUES (int64 LE), then serde-encoded KEYS."""
+    if lg_max_map_size is None:
+        lg_max_map_size = _lg_size_for(sk.m)
+    active = len(sk.counts)
+    if active == 0 and sk.n == 0:
+        return struct.pack(
+            "<BBBBBBxx", 1, _SER_VER, _FAMILY_ID, lg_max_map_size,
+            _LG_MIN_MAP_SIZE, _EMPTY_FLAG_MASK,
+        )
+    keys = sorted(sk.counts)  # deterministic image; reader is order-free
+    vals = np.array([sk.counts[k] for k in keys], dtype="<i8")
+    pre = struct.pack(
+        "<BBBBBBxxixxxxqq", 4, _SER_VER, _FAMILY_ID, lg_max_map_size,
+        _lg_size_for(active), 0, active, sk.n, sk.offset,
+    )
+    return pre + vals.tobytes() + _serde_strings(keys)
+
+
+def from_ref_bytes_items(buf: bytes) -> FrequentItems:
+    """Heapify a FrequentItemsSketch<String> serial-v1 image
+    (frequencies/FrequentItemsSketch.java:232-296 getInstance with
+    ArrayOfStringsSerDe)."""
+    if len(buf) < 8:
+        raise ValueError("frequencies image too short")
+    pre_longs, ser_ver, fam_id, lg_max, _lg_cur, flags = struct.unpack_from(
+        "<BBBBBB", buf, 0
+    )
+    if ser_ver != _SER_VER:
+        raise ValueError(f"unsupported frequencies serVer {ser_ver}")
+    if fam_id != _FAMILY_ID:
+        raise ValueError(f"not a FREQUENCY image (family {fam_id})")
+    empty = (flags & _EMPTY_FLAG_MASK) != 0
+    sk = FrequentItems(max_map_cap(lg_max))
+    if empty:
+        if pre_longs != 1:
+            raise ValueError("empty image must have 1 preamble long")
+        return sk
+    if pre_longs != 4:
+        raise ValueError(f"non-empty image needs 4 preamble longs, got {pre_longs}")
+    (active,) = struct.unpack_from("<i", buf, 8)
+    (stream_len,) = struct.unpack_from("<q", buf, 16)
+    (offset,) = struct.unpack_from("<q", buf, 24)
+    if len(buf) < 32 + 8 * active:
+        raise ValueError("truncated values section")
+    vals = np.frombuffer(buf, dtype="<i8", count=active, offset=32)
+    keys = _deserde_strings(buf, 32 + 8 * active, active)
+    for k, v in zip(keys, vals.tolist()):
+        sk.counts[k] = int(v)
+    sk.offset = int(offset)
+    sk.n = int(stream_len)
+    return sk
+
+
 def from_ref_bytes(buf: bytes) -> FrequentItems:
     """Heapify a FrequentLongsSketch serial-v1 image
     (frequencies/FrequentLongsSketch.java:228-266 getInstance)."""

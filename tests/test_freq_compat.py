@@ -15,8 +15,10 @@ import pytest
 from datasketches_java_spark.kernels.freq import FrequentItems
 from datasketches_java_spark.kernels.freq_compat import (
     from_ref_bytes,
+    from_ref_bytes_items,
     max_map_cap,
     to_ref_bytes,
+    to_ref_bytes_items,
 )
 
 
@@ -80,6 +82,42 @@ def test_roundtrip_after_purges_preserves_estimates():
     for item in (1, 2, 3, 17, 10**6):
         assert back.estimate(item) == sk.estimate(item)
     assert back.frequent_items(200) == sk.frequent_items(200)
+
+
+def test_items_hand_built_java_style_image_heapifies():
+    """FrequentItemsSketch<String> + ArrayOfStringsSerDe image assembled
+    field-by-field (frequencies/FrequentItemsSketch.java:498-540 layout,
+    common/ArrayOfStringsSerDe.java:62-82 item encoding) for
+    {"the": 3, "émoji": 1}, streamLength 4."""
+    pre = struct.pack("<BBBBBBxxixxxxqq", 4, 1, 10, 5, 3, 0, 2, 4, 0)
+    vals = struct.pack("<qq", 3, 1)
+    k1 = "the".encode(); k2 = "émoji".encode()
+    items = struct.pack("<i", len(k1)) + k1 + struct.pack("<i", len(k2)) + k2
+    sk = from_ref_bytes_items(pre + vals + items)
+    assert sk.n == 4 and sk.offset == 0
+    assert sk.estimate("the") == 3 and sk.estimate("émoji") == 1
+    assert sk.estimate("absent") == 0
+
+
+def test_items_roundtrip_after_purges():
+    sk = FrequentItems(8)
+    rng = np.random.default_rng(11)
+    stream = [f"tok{z}" for z in rng.zipf(1.5, 5000).tolist()]
+    for it in stream:
+        sk.update(it)
+    assert sk.offset > 0
+    back = from_ref_bytes_items(to_ref_bytes_items(sk))
+    assert back.n == sk.n and back.offset == sk.offset
+    assert back.counts == sk.counts
+    assert back.frequent_items(200) == sk.frequent_items(200)
+
+
+def test_items_empty_and_unicode_empty_string():
+    empty = from_ref_bytes_items(to_ref_bytes_items(FrequentItems(12)))
+    assert empty.n == 0 and len(empty.counts) == 0
+    sk = FrequentItems(12).update("").update("", 2).update("x")
+    back = from_ref_bytes_items(to_ref_bytes_items(sk))
+    assert back.estimate("") == 3 and back.estimate("x") == 1
 
 
 def test_rejects_bad_images():
