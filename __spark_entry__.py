@@ -387,6 +387,21 @@ def _q_hll_users_by_type(spark, sf_dir):
     )
 
 
+def _q_hll_interop_audit(spark, sf_dir):
+    """Cross-language HLL wire-format audit (reference hll/ family,
+    kernels/hll_compat.py): the JVM's DataSketches HLL builds per-group
+    sketches; Python re-reads each image and re-estimates with the
+    reference estimator chain (HIP / composite / coupon interpolation),
+    re-serializes, and the JVM re-estimates the Python-written image.
+    interop_ok is TRUE per group iff all three estimates agree — a
+    deterministic invariant the oracle asserts, proven live by the
+    actual Java library embedded in Spark."""
+    from datasketches_java_spark.functions.hll_interop import hll_interop_audit
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return hll_interop_audit(ev, "event_type", "user_id", lg_k=12)
+
+
 def _q_cpc_users_by_type(spark, sf_dir):
     """CPC distinct users per event type (reference C1-C3,
     cpc/CpcSketch.java + CpcUnion.java via kernels/cpc.py): distributed
@@ -774,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_docs": _q_simhash_dup_docs,
         "substring_dup_pairs": _q_substring_dup_pairs,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
+        "hll_interop_audit": _q_hll_interop_audit,
         # rows-only (non-SQL-expressible sketch/LSH ops; accuracy
         # contracts pytest-gated — HLL vs reference error tables,
         # LSH-ANN recall vs brute force, multi-channel cluster cover)
@@ -1189,6 +1205,14 @@ def oracle_sql() -> dict[str, str]:
             FROM n na
             JOIN n nb ON na.event_type < nb.event_type
             LEFT JOIN i ON i.ta = na.event_type AND i.tb = nb.event_type
+        """,
+        "hll_interop_audit": """
+            -- deterministic invariant (ANN-recall-gate trick): the
+            -- Python reader/estimator/writer must agree with the JVM's
+            -- embedded datasketches-java for EVERY group; the Spark
+            -- side computes the three-way agreement for real
+            SELECT event_type, TRUE AS interop_ok
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "ks_caption_len_sources": """
             -- exact-regime two-sample KS as a rational: D = d_num/d_den,

@@ -353,7 +353,7 @@ def run_aux_queries(sf_dir: str, cores: int) -> dict:
             "embedding_topk_lsh", "kmv_distinct_by_source", "tpch_q1",
             "bloom_customer_orders", "countmin_tokens",
             "simhash_dup_docs", "substring_dup_pairs",
-            "embedding_cosine_dup_pairs",
+            "embedding_cosine_dup_pairs", "hll_interop_audit",
         ):
             best = None
             for _ in range(2):  # best-of-2: interference is one-sided
