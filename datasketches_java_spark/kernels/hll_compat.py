@@ -53,7 +53,6 @@ Estimator chain (identical to the reference):
 from __future__ import annotations
 
 import math
-import os
 import struct
 from dataclasses import dataclass, field
 
@@ -74,12 +73,19 @@ _KEY_BITS_26 = 26
 _KEY_MASK_26 = (1 << 26) - 1
 _AUX_TOKEN = 0xF
 
-_DATA = os.path.join(os.path.dirname(__file__), "data", "hll_composite_xtable.npz")
 _MIN_LOG_K = 4
 
 
 def _load_xtable():
-    z = np.load(_DATA)
+    # importlib.resources stays valid when the package ships inside the
+    # spark-submit --py-files zip (a plain __file__ join would not)
+    import io
+    from importlib import resources
+
+    blob = (
+        resources.files(__package__).joinpath("data/hll_composite_xtable.npz").read_bytes()
+    )
+    z = np.load(io.BytesIO(blob))
     return [z[f"x_{lgk}"] for lgk in range(4, 22)], z["y_strides"].astype(np.float64)
 
 

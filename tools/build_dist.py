@@ -19,7 +19,7 @@ def build(out: str | None = None) -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                if f.endswith((".py", ".npz")):
                     p = os.path.join(root, f)
                     z.write(p, os.path.relpath(p, REPO))
     return out
