@@ -280,6 +280,28 @@ def estimate(st: HllState) -> float:
     return st.hip_accum
 
 
+# ------------------------------------------------------------- coupons
+
+def coupon_for_bytes(data: bytes) -> int:
+    """BaseHllSketch.coupon(hash(data, 9001)) (:409-414): addr = low 26
+    bits of h0, value = min(nlz(h1), 62) + 1. Strings update as UTF-8
+    bytes, longs as their 8 LE bytes (:305-343)."""
+    from .mmh3 import mmh3_128
+
+    h0, h1 = mmh3_128(data, seed=9001)
+    addr26 = h0 & _KEY_MASK_26
+    lz = 64 if h1 == 0 else 64 - (h1 & 0xFFFFFFFFFFFFFFFF).bit_length()
+    return (min(lz, 62) + 1) << _KEY_BITS_26 | addr26
+
+
+def coupon_for_string(s: str) -> int:
+    return coupon_for_bytes(s.encode("utf-8"))
+
+
+def coupon_for_long(v: int) -> int:
+    return coupon_for_bytes(struct.pack("<q", v))
+
+
 # ------------------------------------------------------------- parsing
 
 def _unpack6(arr: np.ndarray, k: int) -> np.ndarray:

@@ -138,6 +138,29 @@ def test_composite_vs_linear_regimes_and_harmonics():
     assert est == pytest.approx(expected, rel=1e-9)
 
 
+def test_python_coupons_match_jvm_coupon_sets_exactly(spark):
+    """Compute coupons in Python (byte-exact MurmurHash3, seed 9001,
+    the reference's addr26/nlz rule) and compare with the coupon set
+    inside a JVM-built LIST/SET image: must be set-identical — this
+    pins the full hash-to-coupon math against datasketches-java."""
+    values = [f"user_{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in values], "u string")
+    img = bytes(df.agg(F.hll_sketch_agg("u", F.lit(12)).alias("s")).collect()[0]["s"])
+    st = hc.from_ref_bytes(img)
+    assert st.cur_mode in (hc.LIST, hc.SET)
+    jvm_coupons = set(int(c) & 0xFFFFFFFF for c in st.coupons)
+    py_coupons = {hc.coupon_for_string(v) for v in values}
+    assert py_coupons == jvm_coupons
+
+    # long input path as well (update(long) hashes the 8 LE bytes)
+    dfl = spark.range(0, 50).select(F.col("id").alias("v"))
+    imgl = bytes(dfl.agg(F.hll_sketch_agg("v", F.lit(12)).alias("s")).collect()[0]["s"])
+    stl = hc.from_ref_bytes(imgl)
+    jvm_l = set(int(c) & 0xFFFFFFFF for c in stl.coupons)
+    py_l = {hc.coupon_for_long(v) for v in range(50)}
+    assert py_l == jvm_l
+
+
 def test_rejects_bad_images():
     with pytest.raises(ValueError):
         hc.from_ref_bytes(b"\x02\x01")
