@@ -54,6 +54,10 @@ class KllItems:
         self.levels: list[np.ndarray] = [_EMPTY.copy()]
         self.n = 0
         self._compactions = 0
+        # exact stream extremes, like the reference's minItem/maxItem
+        # (KllItemsSketch tracks them independently of compaction)
+        self._ref_min = None
+        self._ref_max = None
 
     def _cap(self, level: int) -> int:
         depth = len(self.levels) - 1 - level
@@ -73,6 +77,11 @@ class KllItems:
             return self
         self.levels[0] = np.concatenate([self.levels[0], _obj(vals)])
         self.n += len(vals)
+        lo, hi = min(vals), max(vals)
+        if self._ref_min is None or lo < self._ref_min:
+            self._ref_min = lo
+        if self._ref_max is None or hi > self._ref_max:
+            self._ref_max = hi
         self._compress()
         return self
 
@@ -109,6 +118,12 @@ class KllItems:
                 self.levels.append(_EMPTY.copy())
             self.levels[h] = np.concatenate([self.levels[h], items])
         self.n += other.n
+        for ext in (other._ref_min, other._ref_max):
+            if ext is not None:
+                if self._ref_min is None or ext < self._ref_min:
+                    self._ref_min = ext
+                if self._ref_max is None or ext > self._ref_max:
+                    self._ref_max = ext
         self._compress()
         return self
 
@@ -155,6 +170,110 @@ class KllItems:
         idx = int(np.searchsorted(it, value, side="right"))
         return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
 
+    # --- reference wire format (KllItemsSketch<String>) ---
+
+    def to_ref_bytes(self) -> bytes:
+        """Serialize in the reference KllItemsSketch wire format
+        (kll/KllPreambleUtil.java layout; KllHelper.java:435-501
+        toByteArray, items branch — ITEMS images are always compact):
+        COMPACT_EMPTY / COMPACT_SINGLE (serde-encoded single item) /
+        COMPACT_FULL (20-byte preamble + shortened levels
+        int[numLevels] + serde(min) + serde(max) + serde(retained
+        items)). Items encode per ArrayOfStringsSerDe (int32 LE UTF-8
+        length + bytes). min/max are the retained extremes unless the
+        sketch was parsed from an image carrying its own."""
+        from .freq_compat import _serde_strings
+        from .kll import _FAMILY_KLL, _ref_level_capacity
+
+        m = 8
+        k16 = np.array([self.k], dtype="<u2").tobytes()
+        if self.n == 0:
+            return bytes([2, 1, _FAMILY_KLL, 1]) + k16 + bytes([m, 0])
+        retained = [s for lv in self.levels for s in lv]
+        if self.n == 1:
+            return (
+                bytes([2, 2, _FAMILY_KLL, 4]) + k16 + bytes([m, 0])
+                + _serde_strings(retained[:1])
+            )
+        num_levels = len(self.levels)
+        cap = sum(
+            _ref_level_capacity(self.k, num_levels, h, m)
+            for h in range(num_levels)
+        )
+        counts = [len(lv) for lv in self.levels]
+        bounds = np.empty(num_levels + 1, dtype=np.int64)
+        bounds[num_levels] = cap
+        for h in range(num_levels - 1, -1, -1):
+            bounds[h] = bounds[h + 1] - counts[h]
+        if bounds[0] < 0:
+            raise ValueError(
+                "retained items exceed the reference layout's capacity "
+                f"for k={self.k}, numLevels={num_levels}"
+            )
+        mn = getattr(self, "_ref_min", None)
+        mx = getattr(self, "_ref_max", None)
+        if mn is None:
+            mn = min(retained)
+        if mx is None:
+            mx = max(retained)
+        lvl0 = sorted(self.levels[0])
+        items = lvl0 + [s for lv in self.levels[1:] for s in lv]
+        return (
+            bytes([5, 1, _FAMILY_KLL, 2]) + k16 + bytes([m, 0])
+            + np.array([self.n], dtype="<i8").tobytes()
+            + np.array([self.k], dtype="<u2").tobytes()
+            + bytes([num_levels, 0])
+            + bounds[:num_levels].astype("<i4").tobytes()
+            + _serde_strings([mn, mx])
+            + _serde_strings(items)
+        )
+
+    @classmethod
+    def from_ref_bytes(cls, buf: bytes, seed: int = 9001) -> "KllItems":
+        """Heapify a KllItemsSketch<String> image (the segment
+        constructor path of kll/KllHeapItemsSketch.java; structure
+        table at kll/KllPreambleUtil.java:124-134)."""
+        from .freq_compat import _deserde_strings
+        from .kll import _FAMILY_KLL, _ref_level_capacity
+
+        if len(buf) < 8:
+            raise ValueError("KLL items image too short")
+        pre_ints, ser_ver, fam, flags = buf[0], buf[1], buf[2], buf[3]
+        if fam != _FAMILY_KLL:
+            raise ValueError(f"not a KLL image (family {fam})")
+        k = int(np.frombuffer(buf[4:6], dtype="<u2")[0])
+        m = buf[6]
+        sk = cls(k=k, seed=seed)
+        if pre_ints == 2:
+            if flags & 1:  # EMPTY
+                return sk
+            sk.levels = [_obj(_deserde_strings(buf, 8, 1))]
+            sk.n = 1
+            return sk
+        if pre_ints != 5:
+            raise ValueError(f"bad KLL preamble ints {pre_ints} (serVer {ser_ver})")
+        n = int(np.frombuffer(buf[8:16], dtype="<i8")[0])
+        num_levels = buf[18]
+        off = 20
+        lev = np.frombuffer(buf[off:off + 4 * num_levels], dtype="<i4").tolist()
+        off += 4 * num_levels
+        cap = sum(
+            _ref_level_capacity(k, num_levels, h, m) for h in range(num_levels)
+        )
+        lev_full = lev + [cap]
+        mn_mx = _deserde_strings(buf, off, 2)
+        for s in mn_mx:
+            off += 4 + len(s.encode("utf-8"))
+        retained = cap - lev_full[0]
+        items = _deserde_strings(buf, off, retained)
+        sk.levels = [
+            _obj(items[lev_full[h] - lev_full[0]: lev_full[h + 1] - lev_full[0]])
+            for h in range(num_levels)
+        ]
+        sk.n = n
+        sk._ref_min, sk._ref_max = mn_mx[0], mn_mx[1]
+        return sk
+
     # --- string serde (shuffle format; length-prefixed UTF-8) ---
 
     def serialize_strings(self) -> bytes:
@@ -165,7 +284,7 @@ class KllItems:
         ArrayOfStringsSerDe wire layout."""
         parts = [
             np.array(
-                [0x4B4C4C53, 1, self.k, self.n, len(self.levels),
+                [0x4B4C4C53, 2, self.k, self.n, len(self.levels),
                  self._compactions],
                 dtype="<i8",
             ).tobytes()
@@ -176,13 +295,22 @@ class KllItems:
             for b in enc:
                 parts.append(np.array([len(b)], dtype="<i4").tobytes())
                 parts.append(b)
+        # exact extremes (v2): int32 length or -1 for absent
+        for ext in (self._ref_min, self._ref_max):
+            if ext is None:
+                parts.append(np.array([-1], dtype="<i4").tobytes())
+            else:
+                b = ext.encode("utf-8")
+                parts.append(np.array([len(b)], dtype="<i4").tobytes())
+                parts.append(b)
         return b"".join(parts)
 
     @classmethod
     def deserialize_strings(cls, buf: bytes, seed: int = 9001) -> "KllItems":
         head = np.frombuffer(buf[:48], dtype="<i8")
-        if head[0] != 0x4B4C4C53 or head[1] != 1:
+        if head[0] != 0x4B4C4C53 or head[1] not in (1, 2):
             raise ValueError("bad KLL-items image")
+        ver = int(head[1])
         sk = cls(k=int(head[2]), seed=seed)
         sk.n = int(head[3])
         sk._compactions = int(head[5])
@@ -198,4 +326,15 @@ class KllItems:
                 out.append(buf[off:off + ln].decode("utf-8"))
                 off += ln
             sk.levels.append(_obj(out))
+        if ver >= 2:
+            exts = []
+            for _ in range(2):
+                ln = int(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])
+                off += 4
+                if ln < 0:
+                    exts.append(None)
+                else:
+                    exts.append(buf[off:off + ln].decode("utf-8"))
+                    off += ln
+            sk._ref_min, sk._ref_max = exts
         return sk

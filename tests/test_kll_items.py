@@ -109,3 +109,54 @@ def test_null_skipped():
     sk = KllItems(k=50).update_many(["b", None, "a", None])
     assert sk.n == 2
     assert sk.get_quantile_frac(1, 1) == "b"
+
+
+def test_ref_wire_roundtrip_exact_regime():
+    """Reference KllItemsSketch wire format: empty/single/full forms
+    round-trip with identical query answers."""
+    empty = KllItems.from_ref_bytes(KllItems(k=200).to_ref_bytes())
+    assert empty.n == 0
+
+    single = KllItems(k=200).update("only")
+    back1 = KllItems.from_ref_bytes(single.to_ref_bytes())
+    assert back1.n == 1 and back1.get_quantile_frac(1, 2) == "only"
+
+    rng = np.random.default_rng(11)
+    items = ["cap" + "".join(rng.choice(list("abcdef"), 6)) for _ in range(150)]
+    sk = KllItems(k=200).update_many(items)
+    back = KllItems.from_ref_bytes(sk.to_ref_bytes())
+    assert back.n == sk.n
+    for p, q in ((1, 2), (99, 100), (1, 4)):
+        assert back.get_quantile_frac(p, q) == sk.get_quantile_frac(p, q)
+    assert back._ref_min == min(items) and back._ref_max == max(items)
+
+
+def test_ref_wire_roundtrip_after_compaction():
+    """Compacted sketches (multiple levels) keep per-level structure
+    and image min/max through the reference layout."""
+    rng = np.random.default_rng(13)
+    items = ["t" + "".join(rng.choice(list("abcdefgh"), 5)) for _ in range(20000)]
+    sk = KllItems(k=64).update_many(items)
+    assert len(sk.levels) > 2  # compaction actually fired
+    buf = sk.to_ref_bytes()
+    back = KllItems.from_ref_bytes(buf)
+    assert [len(lv) for lv in back.levels] == [len(lv) for lv in sk.levels]
+    assert back.n == sk.n
+    for r in (0.1, 0.5, 0.9):
+        assert back.get_quantile(r) == sk.get_quantile(r)
+    assert back._ref_min == min(items) and back._ref_max == max(items)
+    # unicode + empty-string items survive the serde
+    sk2 = KllItems(k=200).update_many(["", "émoji", "zz", ""])
+    b2 = KllItems.from_ref_bytes(sk2.to_ref_bytes())
+    assert b2.get_quantile_frac(1, 100) == "" and b2.n == 4
+
+
+def test_ref_wire_header_layout():
+    import struct
+    sk = KllItems(k=160).update_many([f"x{i:03d}" for i in range(100)])
+    buf = sk.to_ref_bytes()
+    assert buf[0] == 5 and buf[1] == 1 and buf[2] == 15  # preInts/serVer/KLL
+    (k,) = struct.unpack_from("<H", buf, 4)
+    assert k == 160 and buf[6] == 8  # m
+    (n,) = struct.unpack_from("<q", buf, 8)
+    assert n == 100
