@@ -28,6 +28,14 @@ binomial bounds, though the retained count may differ from a Java
 sketch's un-rebuilt 'lazy' state. The deserializer accepts any v3
 compact image (empty / single-item / exact / estimating), so sketches
 produced by Java/C++/Druid/Hive round into our kernels.
+
+Also implemented: the legacy serial v1/v2 migration readers
+(theta/ForwardCompatibility.java) and the serial-v4 COMPRESSED compact
+format in both directions (theta/CompactThetaSketch.java:318-434 +
+theta/BitPacking.java — ordered-delta bitstream at minimal entry
+width), retiring the T11 "compressed serialization" row: v4 is the
+reference's own wire-level compression, distinct from the columnar
+page compression parquet already provides.
 """
 
 from __future__ import annotations
@@ -119,6 +127,81 @@ def serialize_compact(
     return head + h.tobytes()
 
 
+def _pack_bits_msb(values: np.ndarray, bits: int) -> bytes:
+    """MSB-first contiguous bitstream of `bits` bits per value — the
+    exact stream theta/BitPacking.java:39-56 (and its unrolled block-8
+    specializations) produces; trailing pad bits are zero."""
+    v = values.astype(np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    bit_mat = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bit_mat.ravel(), bitorder="big").tobytes()
+
+
+def _unpack_bits_msb(buf: bytes, n: int, bits: int, offset: int) -> np.ndarray:
+    raw = np.frombuffer(buf, np.uint8, offset=offset)
+    stream = np.unpackbits(raw, bitorder="big")
+    if len(stream) < n * bits:
+        raise ValueError("truncated v4 bitstream")
+    bit_mat = stream[: n * bits].reshape(n, bits).astype(np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    return (bit_mat << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def serialize_compact_v4(
+    hashes: np.ndarray,
+    theta_long: int = LONG_MAX,
+    seed: int = DEFAULT_SEED,
+) -> bytes:
+    """(ordered hashes, thetaLong) → serial-v4 COMPRESSED compact image
+    (theta/CompactThetaSketch.java:318-392 toByteArrayCompressed):
+    deltas between consecutive ordered hashes, bit-packed MSB-first at
+    entryBits = 64 - nlz(OR of deltas); whole-byte little-endian entry
+    count; theta long present only in estimation mode. Falls back to
+    the v3 layout for the forms v4 cannot carry (empty, exact
+    single-item, unordered)."""
+    h = np.sort(np.asarray(hashes, dtype=np.int64))
+    n = len(h)
+    if n == 0 or (n == 1 and theta_long == LONG_MAX):
+        return serialize_compact(h, theta_long, seed=seed)
+    deltas = np.diff(np.concatenate([[np.int64(0)], h])).astype(np.uint64)
+    ored = int(np.bitwise_or.reduce(deltas))
+    entry_bits = max(ored.bit_length(), 1)
+    num_entries_bytes = max((n.bit_length() + 7) >> 3, 1)
+    est = theta_long != LONG_MAX
+    pre_longs = 2 if est else 1
+    head = struct.pack(
+        "<BBBBBBH", pre_longs, 4, FAMILY_COMPACT, entry_bits,
+        num_entries_bytes, FLAG_READ_ONLY | FLAG_COMPACT | FLAG_ORDERED,
+        compute_seed_hash(seed),
+    )
+    if est:
+        head += struct.pack("<q", theta_long)
+    head += int(n).to_bytes(num_entries_bytes, "little")
+    return head + _pack_bits_msb(deltas, entry_bits)
+
+
+def _deserialize_v4(
+    buf: bytes, pre_longs: int, seed: int, check_seed: bool
+) -> tuple[np.ndarray, int, bool]:
+    """theta/CompactThetaSketch.java:394-434 heapifyV4."""
+    _, _, fam, entry_bits, num_entries_bytes, _flags, seed_hash = struct.unpack_from(
+        "<BBBBBBH", buf, 0
+    )
+    if fam != FAMILY_COMPACT:
+        raise ValueError(f"not a compact theta image (family {fam})")
+    if check_seed and seed_hash != compute_seed_hash(seed):
+        raise ValueError("seed hash mismatch")
+    off = 8
+    theta_long = LONG_MAX
+    if pre_longs > 1:
+        (theta_long,) = struct.unpack_from("<q", buf, off)
+        off += 8
+    n = int.from_bytes(buf[off:off + num_entries_bytes], "little")
+    off += num_entries_bytes
+    deltas = _unpack_bits_msb(buf, n, entry_bits, off)
+    return np.cumsum(deltas).astype(np.int64), int(theta_long), False
+
+
 def deserialize_compact(
     buf: bytes, seed: int = DEFAULT_SEED, check_seed: bool = True
 ) -> tuple[np.ndarray, int, bool]:
@@ -139,6 +222,8 @@ def deserialize_compact(
         return _deserialize_legacy(
             buf, ser_ver, pre_longs, seed_hash, seed, check_seed
         )
+    if ser_ver == 4:
+        return _deserialize_v4(buf, pre_longs, seed, check_seed)
     if ser_ver != SER_VER:
         raise ValueError(f"unsupported theta serial version {ser_ver}")
     if fam != FAMILY_COMPACT:

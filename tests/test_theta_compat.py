@@ -199,3 +199,67 @@ def test_legacy_v2_seed_hash_validated_v1_not():
     # ... while v1 images (seed hash commonly zero) are not validated
     h, t, empty = tc.deserialize_compact(_v1_image(hs, tc.LONG_MAX))
     assert len(h) == len(hs) and not empty
+
+
+# ---------------------------------------------------------------- v4
+
+def test_v4_roundtrip_exact_and_estimating():
+    from datasketches_java_spark.kernels.theta_compat import (
+        LONG_MAX, deserialize_compact, hash_longs, serialize_compact,
+        serialize_compact_v4,
+    )
+    h = np.sort(hash_longs(np.arange(5000, dtype=np.int64)))
+    # exact mode
+    buf = serialize_compact_v4(h)
+    assert buf[1] == 4 and buf[0] == 1  # serVer 4, 1 preamble long
+    back, theta, empty = deserialize_compact(buf)
+    assert not empty and theta == LONG_MAX
+    assert np.array_equal(back, h)
+    # compression actually compresses vs the v3 image
+    assert len(buf) < len(serialize_compact(h))
+    # estimation mode (theta < max): theta long present, preLongs 2
+    k = 1024
+    theta_long = int(h[k])
+    retained = h[:k]
+    buf2 = serialize_compact_v4(retained, theta_long)
+    assert buf2[0] == 2
+    back2, theta2, _ = deserialize_compact(buf2)
+    assert theta2 == theta_long and np.array_equal(back2, retained)
+
+
+def test_v4_header_and_bitstream_layout():
+    """Hand-checkable case: hashes {3, 10, 12} -> deltas {3, 7, 2},
+    ored=7 -> entryBits=3; bitstream MSB-first: 011 111 010 + pad."""
+    from datasketches_java_spark.kernels.theta_compat import (
+        compute_seed_hash, deserialize_compact, serialize_compact_v4,
+    )
+    buf = serialize_compact_v4(np.array([3, 10, 12], dtype=np.int64))
+    assert buf[0] == 1 and buf[1] == 4 and buf[2] == 3
+    assert buf[3] == 3        # entryBits
+    assert buf[4] == 1        # numEntriesBytes
+    assert buf[5] == 2 | 8 | 16  # READ_ONLY|COMPACT|ORDERED
+    (sh,) = struct.unpack_from("<H", buf, 6)
+    assert sh == compute_seed_hash(9001)
+    assert buf[8] == 3        # entry count
+    assert buf[9] == 0b01111101 and buf[10] == 0b00000000
+    back, _, _ = deserialize_compact(buf)
+    assert back.tolist() == [3, 10, 12]
+
+
+def test_v4_wide_deltas_and_single_entry():
+    from datasketches_java_spark.kernels.theta_compat import (
+        deserialize_compact, serialize_compact_v4,
+    )
+    # deltas needing ~62 bits
+    h = np.array([1, (1 << 62) + 5, (1 << 62) + 6], dtype=np.int64)
+    back, _, _ = deserialize_compact(serialize_compact_v4(h))
+    assert back.tolist() == h.tolist()
+    # single entry in estimation mode stays v4-encodable
+    one = np.array([123456789], dtype=np.int64)
+    buf = serialize_compact_v4(one, theta_long=1 << 61)
+    back1, th, _ = deserialize_compact(buf)
+    assert back1.tolist() == [123456789] and th == 1 << 61
+    # empty and exact-single fall back to v3 forms
+    from datasketches_java_spark.kernels.theta_compat import LONG_MAX
+    assert serialize_compact_v4(np.empty(0, np.int64))[1] == 3
+    assert serialize_compact_v4(one, LONG_MAX)[1] == 3
