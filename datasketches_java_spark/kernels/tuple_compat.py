@@ -193,3 +193,108 @@ def from_ref_bytes(buf: bytes, summary: str = "double") -> LegacyTupleSketch:
         modes[i] = m
         off += sz
     return LegacyTupleSketch(hashes, values, modes, theta, empty)
+
+
+# ------------------------------------------------ current AoD format
+
+@dataclass
+class ArrayOfDoublesSketchImage:
+    """Current-generation ArrayOfDoublesCompactSketch state
+    (tuple/arrayofdoubles/ArrayOfDoublesCompactSketch.java): retained
+    63-bit hash keys plus a (retained x num_values) float64 summary
+    matrix under one thetaLong."""
+
+    hashes: np.ndarray           # int64 keys
+    values: np.ndarray           # shape (retained, num_values) float64
+    theta_long: int
+    empty: bool
+    seed_hash: int
+
+    @property
+    def retained(self) -> int:
+        return len(self.hashes)
+
+    def estimate(self) -> float:
+        if self.empty:
+            return 0.0
+        return self.retained * float(_LONG_MAX) / float(self.theta_long)
+
+    def column_sum_estimates(self) -> np.ndarray:
+        """Unbiased per-column totals: sum(col) / (theta/LONG_MAX) —
+        ArrayOfDoublesSketch.getEstimate analog for summed summaries."""
+        if self.retained == 0:
+            return np.zeros(self.values.shape[1] if self.values.ndim == 2 else 0)
+        return self.values.sum(axis=0) * (float(_LONG_MAX) / float(self.theta_long))
+
+
+_AOD_COMPACT_TYPE = 3   # SerializerDeserializer.SketchType ordinal
+_AOD_F_EMPTY = 1 << 2   # Flags.IS_EMPTY ordinal (ArrayOfDoublesSketch.java:42)
+_AOD_F_HAS_ENTRIES = 1 << 3
+
+
+def aod_to_ref_bytes(sk: ArrayOfDoublesSketchImage) -> bytes:
+    """Serialize the CURRENT ArrayOfDoublesCompactSketch layout
+    (HeapArrayOfDoublesCompactSketch.java:161-184): 8-byte header
+    (preLongs=1, serVer=1, family 9, sketchType 3, flags, numValues,
+    seedHash), thetaLong, then [count, keys long[count],
+    values double[count*numValues]] when entries exist."""
+    import struct
+
+    count = sk.retained
+    num_values = sk.values.shape[1] if sk.values.ndim == 2 else 0
+    flags = (_AOD_F_EMPTY if sk.empty else 0) | (
+        _AOD_F_HAS_ENTRIES if count > 0 else 0
+    )
+    head = struct.pack(
+        "<BBBBBBH", 1, 1, _FAMILY_TUPLE, _AOD_COMPACT_TYPE, flags,
+        num_values, sk.seed_hash,
+    ) + struct.pack("<q", sk.theta_long)
+    if count == 0:
+        return head
+    return (
+        head
+        + struct.pack("<i", count)
+        + b"\x00\x00\x00\x00"  # ENTRIES_START at 24: 4 pad bytes after count
+        + sk.hashes.astype("<i8").tobytes()
+        + sk.values.astype("<f8").ravel().tobytes()
+    )
+
+
+def aod_from_ref_bytes(buf: bytes, check_seed_hash: int | None = None) -> ArrayOfDoublesSketchImage:
+    """Heapify a current ArrayOfDoublesCompactSketch image
+    (HeapArrayOfDoublesCompactSketch segment constructor)."""
+    import struct
+
+    if len(buf) < 16:
+        raise ValueError("AoD image too short")
+    _pre, ser_ver, fam, stype, flags, num_values, seed_hash = struct.unpack_from(
+        "<BBBBBBH", buf, 0
+    )
+    if fam != _FAMILY_TUPLE:
+        raise ValueError(f"not a tuple image (family {fam})")
+    if ser_ver != 1 or stype != _AOD_COMPACT_TYPE:
+        raise ValueError(
+            f"not an ArrayOfDoublesCompactSketch image (serVer {ser_ver}, type {stype})"
+        )
+    if check_seed_hash is not None and seed_hash != check_seed_hash:
+        raise ValueError("seed hash mismatch")
+    (theta_long,) = struct.unpack_from("<q", buf, 8)
+    empty = bool(flags & _AOD_F_EMPTY)
+    if not (flags & _AOD_F_HAS_ENTRIES):
+        return ArrayOfDoublesSketchImage(
+            hashes=np.empty(0, np.int64),
+            values=np.empty((0, num_values)),
+            theta_long=int(theta_long), empty=empty, seed_hash=seed_hash,
+        )
+    (count,) = struct.unpack_from("<i", buf, 16)
+    need = 24 + 8 * count + 8 * count * num_values
+    if len(buf) < need:
+        raise ValueError(f"truncated AoD image: {len(buf)} < {need}")
+    hashes = np.frombuffer(buf, "<i8", count=count, offset=24).copy()
+    values = np.frombuffer(
+        buf, "<f8", count=count * num_values, offset=24 + 8 * count
+    ).reshape(count, num_values).copy()
+    return ArrayOfDoublesSketchImage(
+        hashes=hashes, values=values, theta_long=int(theta_long),
+        empty=empty, seed_hash=seed_hash,
+    )
