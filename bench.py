@@ -228,6 +228,23 @@ def _measure_scaling(low_cores: int, hi_cores: int, rows: int) -> tuple[dict, di
                 out.append(None)
         return out
 
+    # best-ever floors (monotone): flag the case the ratio check cannot
+    # see — BOTH legs uniformly slowed by degraded host memory state,
+    # efficiency in band but absolute rates garbage
+    fl_lo = _read_floor(low_cores, rows)
+    fl_hi = _read_floor(hi_cores, rows)
+    if (
+        contamination is None
+        and fl_lo is not None and fl_hi is not None
+        and lo["wall"] > 1.5 * fl_lo and hi["wall"] > 1.5 * fl_hi
+    ):
+        contamination = (
+            f"both legs' best walls exceed 1.5x their best-ever floors "
+            f"({lo['wall']}s vs {fl_lo}s, {hi['wall']}s vs {fl_hi}s) — "
+            "ratio unaffected but absolute rates from a degraded host"
+        )
+    _update_floor(low_cores, rows, lo["wall"])
+    _update_floor(hi_cores, rows, hi["wall"])
     scaling = {
         "cores_low": low_cores,
         "cores_high": hi_cores,
@@ -252,15 +269,50 @@ def _measure_scaling(low_cores: int, hi_cores: int, rows: int) -> tuple[dict, di
     return lo, hi, scaling, detail
 
 
+def _floor_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "floor.json")
+
+
+def _read_floor(cores: int, rows: int) -> float | None:
+    try:
+        with open(_floor_path()) as f:
+            return float(json.load(f)[f"c{cores}_r{rows}"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _update_floor(cores: int, rows: int, wall: float) -> None:
+    """Monotone-decreasing best-ever wall per (cores, rows): floors
+    only tighten, so a contaminated run can never degrade the check."""
+    path = _floor_path()
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        d = {}
+    key = f"c{cores}_r{rows}"
+    if key not in d or wall < float(d[key]):
+        d[key] = round(wall, 3)
+        with open(path, "w") as f:
+            json.dump(d, f, indent=1)
+
+
 def _measure_headline(cores: int, rows: int) -> tuple[dict, dict]:
     """Headline throughput with the SAME multi-window protocol as the
     scaling legs (round-4 verdict item #1a: the single-window headline
     recorded a 3.5x-contended number). Three fresh-JVM single-rep
-    windows, best published; up to 2 extra windows when the spread
-    exceeds 1.3x or the best window's ambient was contended — local[32]
-    sits past this sandbox's memory-bus ceiling where variance is
-    worst, so more independent windows, not more reps in one, is what
-    buys a clean best."""
+    windows, best published; extra windows (up to 4) whenever
+    (a) the spread exceeds 1.3x, (b) the best window's ambient was
+    contended, or (c) the best wall exceeds 1.5x the best-ever floor
+    recorded for this (cores, rows) — trigger (c) catches the failure
+    the first two cannot see: N CONSISTENTLY slow windows launched
+    into degraded host memory state (cold page cache after unrelated
+    heavy jobs), where CPU-runnable ambient looks clean and the
+    spread is tight. Repeated fresh windows re-warm the cache, so a
+    healthy host converges back under the floor; a run still over it
+    after the extras is published with the floor noted in the detail
+    blob rather than silently."""
     ws: list[dict] = []
     for _ in range(3):
         _run_window(cores, rows, ws)
@@ -268,15 +320,32 @@ def _measure_headline(cores: int, rows: int) -> tuple[dict, dict]:
     def best() -> dict:
         return min(ws, key=lambda w: w["m"]["wall"])
 
+    floor = _read_floor(cores, rows)
+
+    def over_floor() -> bool:
+        return floor is not None and best()["m"]["wall"] > 1.5 * floor
+
     extra = 0
-    while extra < 2:
+    while extra < 4:
         walls = [w["m"]["wall"] for w in ws]
-        if _spread(walls) <= 1.3 and not _amb_contended(best()["ambient"]):
+        if (
+            _spread(walls) <= 1.3
+            and not _amb_contended(best()["ambient"])
+            and not over_floor()
+        ):
             break
         time.sleep(15)
         _run_window(cores, rows, ws)
         extra += 1
-    return best()["m"], {"windows": ws}
+    detail: dict = {"windows": ws, "floor": floor}
+    if over_floor():
+        detail["contamination"] = (
+            f"best wall {best()['m']['wall']}s > 1.5x best-ever floor "
+            f"{floor}s after {extra} extra windows — host memory state "
+            "degraded; treat published rate as a lower bound"
+        )
+    _update_floor(cores, rows, best()["m"]["wall"])
+    return best()["m"], detail
 
 
 def _measure_main(cores: int, n_rows: int, reps: int = 2) -> None:
