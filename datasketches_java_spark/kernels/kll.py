@@ -41,6 +41,12 @@ class KllDoubles:
         self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
         self.n = 0
         self._compactions = 0
+        # exact stream extremes, tracked through compaction like the
+        # reference's minItem/maxItem fields (KllDoublesSketch), so
+        # rank-0/rank-1 queries return the true extremes even after
+        # compaction dropped them from the retained set
+        self._ref_min: float | None = None
+        self._ref_max: float | None = None
 
     def _cap(self, level: int) -> int:
         num = len(self.levels)
@@ -63,6 +69,11 @@ class KllDoubles:
             return self
         self.levels[0] = np.concatenate([self.levels[0], values])
         self.n += len(values)
+        lo, hi = float(values.min()), float(values.max())
+        if self._ref_min is None or lo < self._ref_min:
+            self._ref_min = lo
+        if self._ref_max is None or hi > self._ref_max:
+            self._ref_max = hi
         self._compress()
         return self
 
@@ -99,6 +110,12 @@ class KllDoubles:
                 self.levels.append(np.empty(0, np.float64))
             self.levels[h] = np.concatenate([self.levels[h], items])
         self.n += other.n
+        for ext in (other._ref_min, other._ref_max):
+            if ext is not None:
+                if self._ref_min is None or ext < self._ref_min:
+                    self._ref_min = ext
+                if self._ref_max is None or ext > self._ref_max:
+                    self._ref_max = ext
         self._compress()
         return self
 
@@ -117,21 +134,39 @@ class KllDoubles:
         order = np.argsort(it, kind="stable")
         return it[order], wt[order]
 
-    def get_quantile(self, rank: float) -> float:
-        """INCLUSIVE search criterion (QuantileSearchCriteria.java:41)."""
+    def _view_with_minmax(self) -> tuple[np.ndarray, np.ndarray]:
+        """(items, cumulative weights) with the tracked stream extremes
+        injected exactly as the reference sorted view does
+        (quantilescommon/IncludeMinMax.java:118-155): prepend min with
+        cumweight 1 if the smallest retained item isn't it; append max
+        borrowing weight 1 from the previous last."""
         it, wt = self._sorted_view()
         if len(it) == 0:
-            return float("nan")
+            return it, np.empty(0, np.int64)
         cum = np.cumsum(wt)
+        if self._ref_min is not None and it[0] != self._ref_min:
+            it = np.concatenate([[self._ref_min], it])
+            cum = np.concatenate([[1], cum])
+        if self._ref_max is not None and it[-1] != self._ref_max:
+            n = cum[-1]
+            cum[-1] = n - 1
+            it = np.concatenate([it, [self._ref_max]])
+            cum = np.concatenate([cum, [n]])
+        return it, cum
+
+    def get_quantile(self, rank: float) -> float:
+        """INCLUSIVE search criterion (QuantileSearchCriteria.java:41)."""
+        it, cum = self._view_with_minmax()
+        if len(it) == 0:
+            return float("nan")
         pos = rank * self.n
         idx = int(np.searchsorted(cum, pos, side="left"))
         return float(it[min(idx, len(it) - 1)])
 
     def get_rank(self, value: float) -> float:
-        it, wt = self._sorted_view()
+        it, cum = self._view_with_minmax()
         if len(it) == 0:
             return float("nan")
-        cum = np.cumsum(wt)
         idx = int(np.searchsorted(it, value, side="right"))
         return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
 
@@ -146,10 +181,14 @@ class KllDoubles:
 
     def serialize(self) -> bytes:
         header = np.array(
-            [0x4B4C4C31, 1, self.k, self.n, len(self.levels), self._compactions],
+            [0x4B4C4C31, 2, self.k, self.n, len(self.levels), self._compactions],
             dtype="<i8",
         ).tobytes()
-        parts = [header]
+        ext = np.array(
+            [np.nan if self._ref_min is None else self._ref_min,
+             np.nan if self._ref_max is None else self._ref_max],
+            dtype="<f8").tobytes()
+        parts = [header, ext]
         for lv in self.levels:
             parts.append(np.array([len(lv)], dtype="<i8").tobytes())
             parts.append(np.asarray(lv, dtype="<f8").tobytes())
@@ -158,7 +197,7 @@ class KllDoubles:
     @classmethod
     def deserialize(cls, buf: bytes, seed: int = 9001) -> "KllDoubles":
         head = np.frombuffer(buf[:48], dtype="<i8")
-        if head[0] != 0x4B4C4C31 or head[1] != 1:
+        if head[0] != 0x4B4C4C31 or head[1] not in (1, 2):
             raise ValueError("bad KLL image")
         sk = cls(k=int(head[2]), seed=seed)
         sk.n = int(head[3])
@@ -166,6 +205,11 @@ class KllDoubles:
         n_levels = int(head[4])
         sk.levels = []
         off = 48
+        if head[1] == 2:  # v2 carries the exact stream extremes
+            mn, mx = np.frombuffer(buf[48:64], dtype="<f8")
+            sk._ref_min = None if np.isnan(mn) else float(mn)
+            sk._ref_max = None if np.isnan(mx) else float(mx)
+            off = 64
         for _ in range(n_levels):
             cnt = int(np.frombuffer(buf[off : off + 8], dtype="<i8")[0])
             off += 8

@@ -21,9 +21,14 @@ baseCap = 3k window (exactRank :191-196).
 This is a faithful per-level re-expression in NumPy (batched appends
 between compress passes; the coin comes from the same seeded splitmix
 lane KLL uses so distributed runs are deterministic). The reference's
-item type is float32; this engine's is float64 throughout — wire
-compatibility is not claimed for REQ (the KLL/t-digest lanes carry the
-serialization interop story).
+item type is float32; this engine's is float64 throughout.
+
+Wire interop: `from_ref_bytes`/`to_ref_bytes` implement the
+reference's serial-v1 image layout (req/ReqSerDe.java:36-121 —
+EMPTY / RAWITEMS / EXACT / ESTIMATION forms, family id 17). Reads are
+lossless (float32 → float64); writes down-cast items to float32, so
+they are byte-faithful only for float32-representable values
+(integers, counts — this engine's REQ use cases).
 """
 
 from __future__ import annotations
@@ -218,19 +223,39 @@ class ReqDoubles:
         order = np.argsort(it, kind="stable")
         return it[order], wt[order]
 
-    def get_rank(self, value: float) -> float:
+    def _view_with_minmax(self) -> tuple[np.ndarray, np.ndarray]:
+        """(items, cumulative weights) with the stream min/max injected
+        exactly as the reference sorted view does
+        (quantilescommon/IncludeMinMax.java:118-155): if the smallest
+        retained item isn't the stream min, prepend min with cumweight
+        1; if the largest isn't the stream max, append max borrowing
+        weight 1 from the previous last. Makes rank-0/rank-1 queries
+        return the exact stream extremes."""
         it, wt = self._sorted_view()
         if len(it) == 0:
-            return float("nan")
+            return it, np.empty(0, np.int64)
         cum = np.cumsum(wt)
+        if it[0] != self.min:
+            it = np.concatenate([[self.min], it])
+            cum = np.concatenate([[1], cum])
+        if it[-1] != self.max:
+            n = cum[-1]
+            cum[-1] = n - 1
+            it = np.concatenate([it, [self.max]])
+            cum = np.concatenate([cum, [n]])
+        return it, cum
+
+    def get_rank(self, value: float) -> float:
+        it, cum = self._view_with_minmax()
+        if len(it) == 0:
+            return float("nan")
         idx = int(np.searchsorted(it, value, side="right"))
         return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
 
     def get_quantile(self, rank: float) -> float:
-        it, wt = self._sorted_view()
+        it, cum = self._view_with_minmax()
         if len(it) == 0:
             return float("nan")
-        cum = np.cumsum(wt)
         idx = int(np.searchsorted(cum, rank * self.n, side="left"))
         return float(it[min(idx, len(it) - 1)])
 
@@ -296,3 +321,132 @@ class ReqDoubles:
             off += 8 * int(cnt)
             sk.compactors.append(c)
         return sk
+
+
+# ---------------------------------------------------------------------------
+# Reference wire format — ReqSketch serial v1 (req/ReqSerDe.java:36-121).
+#
+# Header (8 bytes): preInts(u8) serVer=1(u8) famID=17(u8) flags(u8)
+# k(u16 LE) numCompactors(u8) numRawItems(u8). Flags: bit2 EMPTY,
+# bit3 HRA, bit4 RAW_ITEMS, bit5 L0_SORTED (ReqSerDe.java:108-117).
+# Four body forms (ReqSerDe.java getSerFormat):
+#   EMPTY     (n==0):                   header only, preInts=2
+#   RAWITEMS  (0<n<=MIN_K):             header + n float32 items
+#   EXACT     (one level, n>MIN_K):     header + compactor0
+#   ESTIMATION(multi-level):            header + N(i64) + min,max(f32)
+#                                       + each compactor
+# Compactor image (ReqCompactor.java:293-307): state(i64)
+# sectionSizeFlt(f32) lgWeight(u8) numSections(u8) pad(2) count(i32)
+# + count float32 items (active items only, buffer order).
+# ---------------------------------------------------------------------------
+
+_REQ_FAMILY = 17
+_REQ_SERVER = 1
+
+
+def _read_ref_compactor(buf: bytes, off: int, h: int, hra: bool,
+                        k: int) -> tuple[_Compactor, int, int]:
+    """Parse one compactor image; returns (compactor, item_count, new_off).
+    Mirrors ReqSerDe.extractCompactor (ReqSerDe.java:197-222)."""
+    state = int(np.frombuffer(buf[off:off + 8], dtype="<i8")[0])
+    ssf = float(np.frombuffer(buf[off + 8:off + 12], dtype="<f4")[0])
+    lg_wt = buf[off + 12]
+    num_sections = buf[off + 13]
+    count = int(np.frombuffer(buf[off + 16:off + 20], dtype="<i4")[0])
+    off += 20
+    items = np.frombuffer(buf[off:off + 4 * count], dtype="<f4")
+    off += 4 * count
+    c = _Compactor(int(lg_wt), hra, k)
+    c.state = state
+    c.section_size_flt = ssf
+    c.section_size = int(round(ssf))  # sectionSize = round(sectionSizeFlt) (:203)
+    c.num_sections = int(num_sections)
+    # this kernel keeps buffers sorted between compactions; sorting a
+    # reference buffer changes no rank/weight semantics (the reference
+    # itself sorts before every compaction pass)
+    c.buf = np.sort(items.astype(np.float64))
+    return c, count, off
+
+
+def from_ref_bytes(buf: bytes, seed: int = 9001) -> ReqDoubles:
+    """Heapify a reference ReqSketch serial-v1 image (ReqSerDe.heapify,
+    ReqSerDe.java:127-194) into a ReqDoubles. Lossless: the wire item
+    type is float32."""
+    if len(buf) < 8:
+        raise ValueError("REQ image too short")
+    pre_ints, ser_ver, fam = buf[0], buf[1], buf[2]
+    if ser_ver != _REQ_SERVER or fam != _REQ_FAMILY:
+        raise ValueError(f"not a REQ serial-v1 image (serVer={ser_ver}, family={fam})")
+    flags = buf[3]
+    empty = bool(flags & 4)
+    hra = bool(flags & 8)
+    raw_items = bool(flags & 16)
+    k = int(np.frombuffer(buf[4:6], dtype="<u2")[0])
+    n_comp = buf[6]
+    n_raw = buf[7]
+    sk = ReqDoubles(k=k, hra=hra, seed=seed)
+    if empty or n_comp == 0:
+        return sk
+    if raw_items:  # RAWITEMS: n_raw float32 updates (ReqSerDe.java:157-162)
+        items = np.frombuffer(buf[8:8 + 4 * n_raw], dtype="<f4")
+        return sk.update_many(items.astype(np.float64))
+    if n_comp == 1:  # EXACT (ReqSerDe.java:163-176): totalN = c0.count
+        if pre_ints != 2:
+            raise ValueError("EXACT REQ image must have preInts=2")
+        c, count, _ = _read_ref_compactor(buf, 8, 0, hra, k)
+        sk.compactors = [c]
+        sk.n = count
+        sk.min = float(c.buf[0]) if count else np.nan
+        sk.max = float(c.buf[-1]) if count else np.nan
+        return sk
+    # ESTIMATION (ReqSerDe.java:177-193)
+    if pre_ints != 4:
+        raise ValueError("ESTIMATION REQ image must have preInts=4")
+    sk.n = int(np.frombuffer(buf[8:16], dtype="<i8")[0])
+    sk.min = float(np.frombuffer(buf[16:20], dtype="<f4")[0])
+    sk.max = float(np.frombuffer(buf[20:24], dtype="<f4")[0])
+    off = 24
+    sk.compactors = []
+    for h in range(n_comp):
+        c, _, off = _read_ref_compactor(buf, off, h, hra, k)
+        sk.compactors.append(c)
+    return sk
+
+
+def _write_ref_compactor(c: _Compactor) -> bytes:
+    head = np.zeros(20, np.uint8)
+    head[0:8] = np.frombuffer(np.array([c.state], dtype="<i8").tobytes(), np.uint8)
+    head[8:12] = np.frombuffer(np.array([c.section_size_flt], dtype="<f4").tobytes(), np.uint8)
+    head[12] = c.lg_weight
+    head[13] = c.num_sections
+    head[16:20] = np.frombuffer(np.array([len(c.buf)], dtype="<i4").tobytes(), np.uint8)
+    return head.tobytes() + c.buf.astype("<f4").tobytes()
+
+
+def to_ref_bytes(sk: ReqDoubles) -> bytes:
+    """Serialize to the reference serial-v1 layout (ReqSerDe.toByteArray,
+    ReqSerDe.java:265-313). Items are down-cast to float32 (the
+    reference REQ is a floats sketch); exact for float32-representable
+    values. The reference can heapify these images directly."""
+    empty = sk.n == 0
+    n_levels = len(sk.compactors)
+    raw = (not empty) and sk.n <= MIN_K
+    estimation = (not empty) and (not raw) and n_levels > 1
+    flags = (4 if empty else 0) | (8 if sk.hra else 0) | (16 if raw else 0) \
+        | 32  # L0 sorted: this kernel keeps buffers sorted
+    head = bytes([
+        4 if estimation else 2, _REQ_SERVER, _REQ_FAMILY, flags,
+        sk.k & 0xFF, (sk.k >> 8) & 0xFF,
+        0 if empty else n_levels,
+        sk.n if raw else 0,
+    ])
+    if empty:
+        return head
+    if raw:
+        return head + sk.compactors[0].buf.astype("<f4").tobytes()
+    if not estimation:  # EXACT
+        return head + _write_ref_compactor(sk.compactors[0])
+    body = [np.array([sk.n], dtype="<i8").tobytes(),
+            np.array([sk.min, sk.max], dtype="<f4").tobytes()]
+    body += [_write_ref_compactor(c) for c in sk.compactors]
+    return head + b"".join(body)

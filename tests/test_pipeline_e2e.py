@@ -79,6 +79,11 @@ def test_signature_stage_prunes_bytes_column(spark, smoke_sf_dir, result):
     (100 TB of pixels stays on disk)."""
     from datasketches_java_spark.operators.signatures import compute_signatures
 
+    # drop pipeline-persisted stages: the CacheManager would otherwise
+    # substitute an InMemoryTableScan (whose schema carries `bytes`)
+    # for the file scan this test inspects; unpersisted frames simply
+    # recompute, so later tests are unaffected
+    spark.catalog.clearCache()
     corpus = tables.load_corpus(spark, smoke_sf_dir)
     plan = compute_signatures(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "bytes" not in plan
