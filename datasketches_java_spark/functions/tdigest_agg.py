@@ -60,11 +60,25 @@ def tdigest_median_agg(
         td = TDigest.deserialize(pdf["sketch"].iloc[0])
         for b in pdf["sketch"].iloc[1:]:
             td.merge(TDigest.deserialize(b))
+        # med2 = v_⌊(n+1)/2⌋ + v_⌈(n+1)/2⌉ via the INCLUSIVE-criterion
+        # order statistic over the centroid view (first centroid whose
+        # cumulative weight reaches j). In the singleton regime this
+        # IS the order statistic, making med2 SQL-oracle-able exactly;
+        # the port-faithful get_quantile(0.5) would return the upper
+        # item alone at even n (reference singleton short-circuit,
+        # TDigestDouble.java:269-276), which is not the midpoint the
+        # oracle computes. Lossy regime: centroid-mean approximation,
+        # pytest-gated.
+        n = int(round(td.n))
+        cum = np.cumsum(td.weights)
+        j_lo, j_hi = (n + 1) // 2, (n + 2) // 2
+        lo = float(td.means[min(int(np.searchsorted(cum, j_lo)), len(cum) - 1)])
+        hi = float(td.means[min(int(np.searchsorted(cum, j_hi)), len(cum) - 1)])
         return pd.DataFrame(
             {
                 group_col: [key[0]],
-                "n": [int(round(td.n))],
-                "med2": [int(round(2.0 * td.get_quantile(0.5)))],
+                "n": [n],
+                "med2": [int(round(lo + hi))],
                 "min_v": [int(round(td.min))],
                 "max_v": [int(round(td.max))],
             }

@@ -142,31 +142,49 @@ class KllItems:
         order = np.argsort(it, kind="stable")
         return it[order], wt[order]
 
+    def _view_with_minmax(self) -> tuple[np.ndarray, np.ndarray]:
+        """(items, cumulative weights) with the tracked stream extremes
+        injected like the reference sorted view
+        (quantilescommon/IncludeMinMax.java generic form): prepend min
+        with cumweight 1 when the smallest retained item isn't it,
+        append max borrowing weight 1 from the previous last — so
+        rank-0/rank-1 return the exact extremes the image carries."""
+        it, wt = self._sorted_view()
+        if len(it) == 0:
+            return it, np.empty(0, np.int64)
+        cum = np.cumsum(wt)
+        if self._ref_min is not None and it[0] != self._ref_min:
+            it = np.concatenate([np.array([self._ref_min], dtype=object), it])
+            cum = np.concatenate([[1], cum])
+        if self._ref_max is not None and it[-1] != self._ref_max:
+            n = cum[-1]
+            cum[-1] = n - 1
+            it = np.concatenate([it, np.array([self._ref_max], dtype=object)])
+            cum = np.concatenate([cum, [n]])
+        return it, cum
+
     def get_quantile_frac(self, p: int, q: int):
         """min v with q·cumweight(v) >= p·n — the INCLUSIVE criterion
         (quantilescommon/QuantileSearchCriteria.java:41) in exact
         integer rank math, so exact-regime answers are SQL-oracle-able."""
-        it, wt = self._sorted_view()
+        it, cum = self._view_with_minmax()
         if len(it) == 0:
             return None
-        cum = np.cumsum(wt)
         idx = int(np.searchsorted(q * cum, p * self.n, side="left"))
         return it[min(idx, len(it) - 1)]
 
     def get_quantile(self, rank: float):
-        it, wt = self._sorted_view()
+        it, cum = self._view_with_minmax()
         if len(it) == 0:
             return None
-        cum = np.cumsum(wt)
         idx = int(np.searchsorted(cum, rank * self.n, side="left"))
         return it[min(idx, len(it) - 1)]
 
     def get_rank(self, value) -> float:
         """Normalized rank of `value`, inclusive criterion."""
-        it, wt = self._sorted_view()
+        it, cum = self._view_with_minmax()
         if len(it) == 0:
             return float("nan")
-        cum = np.cumsum(wt)
         idx = int(np.searchsorted(it, value, side="right"))
         return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
 

@@ -104,39 +104,136 @@ class TDigest:
         cum = np.cumsum(self.weights)
         return cum - self.weights / 2.0
 
-    def get_quantile(self, rank: float) -> float:
-        if len(self.means) == 0:
+    @staticmethod
+    def _weighted_average(x1: float, w1: float, x2: float, w2: float) -> float:
+        # TDigestDouble.java:676-678 (normalize before multiplying)
+        w = w1 + w2
+        return x1 * (w1 / w) + x2 * (w2 / w)
+
+    def get_quantile(self, rank: float, ref_parity: bool = False) -> float:
+        """Port of TDigestDouble.getQuantile (TDigestDouble.java:239-287):
+        min/max clamps at total weight < 1 from either end, half-weight
+        tail interpolation anchored one unit inside each extreme,
+        singleton short-circuits, weighted-average midpoint rule.
+
+        One deliberate divergence, gated by `ref_parity`: the
+        reference's interior branch (:278-280) passes
+        weightedAverage(means[i], weight-ws, means[i+1], ws+dw-weight)
+        — the weights are SWAPPED relative to the rank geometry
+        (means[i] sits at cumulative half-weight ws, so the fraction
+        toward means[i+1] is (weight-ws)/dw, not its complement) and
+        to Dunning's reference t-digest implementation, biasing
+        interior quantiles by up to one inter-centroid gap (Java reads
+        the median of 0..19999 as 9900.5). Default False computes the
+        correctly-oriented average; ref_parity=True reproduces the
+        library bit-for-bit (asserted live against datasketches-java
+        in tests/test_live_jvm_interop.py)."""
+        nc = len(self.means)
+        if nc == 0:
             return float("nan")
+        if nc == 1:
+            return float(self.means[0])
         total = self.n
-        target = rank * total
-        mid = self._mid_cum()
-        if target <= mid[0]:
-            return self.min if rank <= 0 else float(
-                self.min + (self.means[0] - self.min) * (target / max(mid[0], 1e-300))
-            )
-        if target >= mid[-1]:
-            if rank >= 1:
-                return self.max
-            span = total - mid[-1]
-            return float(
-                self.means[-1]
-                + (self.max - self.means[-1]) * ((target - mid[-1]) / max(span, 1e-300))
-            )
-        j = int(np.searchsorted(mid, target, side="right"))
-        frac = (target - mid[j - 1]) / max(mid[j] - mid[j - 1], 1e-300)
-        return float(self.means[j - 1] + (self.means[j] - self.means[j - 1]) * frac)
+        weight = rank * total
+        if weight < 1.0:
+            return float(self.min)
+        if weight > total - 1.0:
+            return float(self.max)
+        first_w = float(self.weights[0])
+        if first_w > 1.0 and weight < first_w / 2.0:
+            return float(self.min + (weight - 1.0) / (first_w / 2.0 - 1.0)
+                         * (self.means[0] - self.min))
+        last_w = float(self.weights[-1])
+        if last_w > 1.0 and total - weight <= last_w / 2.0:
+            return float(self.max + (total - weight - 1.0) / (last_w / 2.0 - 1.0)
+                         * (self.max - self.means[-1]))
+        # between centroids i and i+1: first i with weightSoFar+dw > weight.
+        # cums replays the Java loop's left-to-right accumulation
+        # exactly (cumsum is sequential), so every threshold is the
+        # same float64 the reference computes — quantiles match to the
+        # last bit, not just approximately.
+        dw = (self.weights[:-1] + self.weights[1:]) / 2.0
+        cums = np.cumsum(np.concatenate([[first_w / 2.0], dw]))
+        i = int(np.searchsorted(cums[1:], weight, side="right"))
+        if i >= len(dw):  # fell past the last midpoint (:284-286)
+            w1 = weight - total - last_w / 2.0
+            w2 = last_w / 2.0 - w1
+            return float(self._weighted_average(
+                float(self.means[-1]), w1, float(self.max), w2))
+        ws = float(cums[i])
+        ws_next = float(cums[i + 1])  # == weightSoFar + dw, Java's operand order
+        left = 0.0
+        if self.weights[i] == 1:
+            if weight - ws < 0.5:
+                return float(self.means[i])
+            left = 0.5
+        right = 0.0
+        if self.weights[i + 1] == 1:
+            if ws_next - weight <= 0.5:
+                return float(self.means[i + 1])
+            right = 0.5
+        w1 = weight - ws - left
+        w2 = ws_next - weight - right
+        if ref_parity:  # the reference's swapped orientation (:278-280)
+            return float(self._weighted_average(
+                float(self.means[i]), w1, float(self.means[i + 1]), w2))
+        return float(self._weighted_average(
+            float(self.means[i]), w2, float(self.means[i + 1]), w1))
 
     def get_rank(self, value: float) -> float:
-        if len(self.means) == 0:
+        """Port of TDigestDouble.getRank (TDigestDouble.java:181-233)
+        with one deliberate fix: the reference snapshot's left-tail
+        branch (:195) returns its interpolated weight WITHOUT dividing
+        by the total weight (the right tail at :205-206 does divide) —
+        an upstream asymmetry that yields ranks > 1 for values below
+        the first centroid mean. We normalize both tails, which is
+        also what the released datasketches-java 6.2.0 does (verified
+        live: its left-tail ranks are normalized), so the live parity
+        test covers the full domain against that jar."""
+        nc = len(self.means)
+        if nc == 0:
             return float("nan")
-        if value <= self.min:
+        if value < self.min:
             return 0.0
-        if value >= self.max:
+        if value > self.max:
             return 1.0
-        mid = self._mid_cum()
-        pts = np.concatenate([[self.min], self.means, [self.max]])
-        cums = np.concatenate([[0.0], mid, [self.n]])
-        return float(np.interp(value, pts, cums) / self.n)
+        if nc == 1:
+            return 0.5
+        total = self.n
+        first_mean = float(self.means[0])
+        if value < first_mean:
+            if first_mean - self.min > 0:
+                if value == self.min:
+                    return 0.5 / total
+                return float((1.0 + (value - self.min) / (first_mean - self.min)
+                              * (self.weights[0] / 2.0 - 1.0)) / total)
+            return 0.0
+        last_mean = float(self.means[-1])
+        if value > last_mean:
+            if self.max - last_mean > 0:
+                if value == self.max:
+                    return 1.0 - 0.5 / total
+                return float(1.0 - ((1.0 + (self.max - value) / (self.max - last_mean)
+                                     * (self.weights[-1] / 2.0 - 1.0)) / total))
+            return 1.0
+        lower = int(np.searchsorted(self.means, value, side="left"))
+        upper = int(np.searchsorted(self.means, value, side="right"))
+        if lower == nc or value < self.means[lower]:
+            lower -= 1
+        if upper == nc or self.means[upper - 1] >= value:
+            upper -= 1
+        cum = np.cumsum(self.weights)
+        weight_below = (float(cum[lower - 1]) if lower > 0 else 0.0) \
+            + float(self.weights[lower]) / 2.0
+        weight_delta = float(cum[upper - 1] - (cum[lower - 1] if lower > 0 else 0.0)) \
+            - float(self.weights[lower]) / 2.0 + float(self.weights[upper]) / 2.0 \
+            if upper > lower else \
+            float(self.weights[upper]) / 2.0 - float(self.weights[lower]) / 2.0
+        span = float(self.means[upper] - self.means[lower])
+        if span > 0:
+            return float((weight_below + weight_delta
+                          * (value - float(self.means[lower])) / span) / total)
+        return float((weight_below + weight_delta / 2.0) / total)
 
     # --- serialization (versioned LE preamble) ----------------------
 

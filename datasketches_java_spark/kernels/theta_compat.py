@@ -121,7 +121,8 @@ def serialize_compact(
     head = struct.pack(
         "<BBBBBBH", pre_longs, SER_VER, FAMILY_COMPACT, 0, 0, flags, seed_hash
     )
-    head += struct.pack("<if", n, 0.0)  # retained count, p (0.0 per C++)
+    head += struct.pack("<if", n, 1.0)  # retained count, p=1.0 (matches
+    # the Java writer byte-for-byte; verified live in test_live_jvm_interop)
     if pre_longs == 3:
         head += struct.pack("<q", theta_long)
     return head + h.tobytes()

@@ -35,9 +35,10 @@ def test_tdigest_reference_double_golden():
     assert td.n == n
     assert td.min == 0.0
     assert td.max == n - 1
-    assert td.get_rank(0) == 0.0
-    # reference asserts ±0.0001 on its own interpolation; our
-    # half-weight interpolation sits within 1e-3 of the same CDF
+    # the reference's own expectation is rank(min) ≈ 0 within 1e-4
+    # (TDigestDoubleTest.java:248 assertEquals tolerance); the ported
+    # getRank returns the reference's exact 0.5/n at the min item
+    assert td.get_rank(0) == 0.5 / n
     for q in (0.25, 0.5, 0.75):
         assert abs(td.get_rank(q * n) - q) < 1e-3
     assert td.get_rank(n) == 1.0

@@ -68,7 +68,7 @@ def _golden_single(seed_hash: int, h: int) -> bytes:
 
 def _golden_exact(seed_hash: int, hashes) -> bytes:
     head = struct.pack("<BBBBBBH", 2, 3, 3, 0, 0, 2 | 8 | 16, seed_hash)
-    head += struct.pack("<if", len(hashes), 0.0)
+    head += struct.pack("<if", len(hashes), 1.0)
     return head + np.asarray(hashes, dtype="<i8").tobytes()
 
 
@@ -138,7 +138,7 @@ def test_string_and_long_lanes_disjoint_but_mergeable():
 def _v1_image(hashes, theta_long) -> bytes:
     """serVer 1: always 3 preamble longs, no flags/seed hash."""
     head = struct.pack("<BBBBBBH", 3, 1, 3, 0, 0, 0, 0)
-    head += struct.pack("<if", len(hashes), 0.0)
+    head += struct.pack("<if", len(hashes), 1.0)
     head += struct.pack("<q", theta_long)
     return head + np.asarray(hashes, dtype="<i8").tobytes()
 
@@ -149,7 +149,7 @@ def _v2_image(hashes, theta_long, seed_hash) -> bytes:
         return struct.pack("<BBBBBBH", 1, 2, 3, 0, 0, 0, seed_hash)
     pre = 2 if theta_long == tc.LONG_MAX else 3
     head = struct.pack("<BBBBBBH", pre, 2, 3, 0, 0, 0, seed_hash)
-    head += struct.pack("<if", len(hashes), 0.0)
+    head += struct.pack("<if", len(hashes), 1.0)
     if pre == 3:
         head += struct.pack("<q", theta_long)
     return head + np.asarray(hashes, dtype="<i8").tobytes()
