@@ -243,7 +243,16 @@ def _allpairs_bitmap(spark, bm, threshold: float, id_type: str) -> DataFrame:
     blocked float32 matmul (intersections are exact integers < 2^24).
     O(n²·dict) flops through BLAS — for a 5k-doc / 2k-shingle corpus
     that is ~50 GFLOPs, far cheaper than shuffling millions of
-    degenerate prefix candidates."""
+    degenerate prefix candidates.
+
+    DRIVER-SIDE BY DESIGN, and bounded out of any 100x plan:
+    `_dense_dict_allpairs_fits` admits only corpora whose whole score
+    matrix fits in _ALLPAIRS_BUDGET (n ≲ 11.5k docs) AND whose
+    dictionary is degenerate-small (≤ _DENSE_DICT_MAX distinct
+    shingles) — the adversarial regime where prefix filtering
+    generates ~n² candidates anyway. Anything larger takes the
+    distributed prefix join / shuffled `exact_rescore_pairs` path, so
+    scale-up never routes more work to the driver."""
     uids, B, nset = bm
     n, words = B.shape
     # binary doc × shingle matrix from the packed bitsets
