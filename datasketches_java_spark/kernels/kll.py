@@ -236,17 +236,13 @@ def _ref_level_capacity(k: int, num_levels: int, level: int, m: int) -> int:
     return max(m, (tmp + 1) >> 1)
 
 
-def from_ref_bytes(buf: bytes, seed: int = 9001) -> "KllDoubles":
-    """Parse a KllDoublesSketch image serialized by the reference
-    library / C++ port (kll/KllPreambleUtil.java layout, native little-
-    endian): COMPACT_EMPTY and COMPACT_SINGLE (8-byte preamble +
-    optional item) and COMPACT_FULL (20-byte preamble, shortened
-    levels int[numLevels], min, max, packed retained items; the top
-    boundary is reconstructed as computeTotalItemCapacity(k, m,
-    numLevels) exactly as KllHeapDoublesSketch's segment constructor
-    does at :129-140). Validated in tests/test_ref_goldens.py against
-    the in-tree goldens kll_sketch_double_one_item_v1.sk /
-    kll_double_n1.sk (KllCrossLanguageTest expectations)."""
+def _from_ref_bytes_typed(buf: bytes, seed: int, dtype: str) -> "KllDoubles":
+    """Shared reader for the three numeric KLL image types. The KLL
+    preamble does NOT self-describe its item type (the reference also
+    dispatches by caller: KllDoublesSketch.heapify vs
+    KllFloatsSketch.heapify vs KllLongsSketch.heapify), so the caller
+    picks the reader; only the item width differs between layouts."""
+    width = np.dtype(dtype).itemsize
     pre_ints, ser_ver, fam, flags = buf[0], buf[1], buf[2], buf[3]
     if fam != _FAMILY_KLL:
         raise ValueError(f"not a KLL image (family {fam})")
@@ -257,9 +253,10 @@ def from_ref_bytes(buf: bytes, seed: int = 9001) -> "KllDoubles":
     if pre_ints == 2:  # COMPACT_EMPTY or COMPACT_SINGLE
         if is_empty:
             return sk
-        v = float(np.frombuffer(buf[8:16], dtype="<f8")[0])
+        v = float(np.frombuffer(buf[8:8 + width], dtype=dtype)[0])
         sk.levels = [np.array([v])]
         sk.n = 1
+        sk._ref_min = sk._ref_max = v
         return sk
     if pre_ints != 5:
         raise ValueError(f"bad KLL preamble ints {pre_ints} (serVer {ser_ver})")
@@ -270,10 +267,10 @@ def from_ref_bytes(buf: bytes, seed: int = 9001) -> "KllDoubles":
     off += 4 * num_levels
     cap = sum(_ref_level_capacity(k, num_levels, h, m) for h in range(num_levels))
     lev_full = lev + [cap]
-    mn, mx = np.frombuffer(buf[off:off + 16], dtype="<f8")
-    off += 16
+    mn, mx = np.frombuffer(buf[off:off + 2 * width], dtype=dtype)
+    off += 2 * width
     retained = cap - lev_full[0]
-    items = np.frombuffer(buf[off:off + 8 * retained], dtype="<f8")
+    items = np.frombuffer(buf[off:off + width * retained], dtype=dtype)
     # items are stored packed from lev_full[0]; split into per-level arrays
     sk.levels = [
         items[lev_full[h] - lev_full[0]: lev_full[h + 1] - lev_full[0]]
@@ -284,6 +281,40 @@ def from_ref_bytes(buf: bytes, seed: int = 9001) -> "KllDoubles":
     # exact min/max are carried by the image, not derivable from the
     # retained items once compaction dropped the extremes
     sk._ref_min, sk._ref_max = float(mn), float(mx)
+    return sk
+
+
+def from_ref_bytes(buf: bytes, seed: int = 9001) -> "KllDoubles":
+    """Parse a KllDoublesSketch image serialized by the reference
+    library / C++ port (kll/KllPreambleUtil.java layout, native little-
+    endian): COMPACT_EMPTY and COMPACT_SINGLE (8-byte preamble +
+    optional item) and COMPACT_FULL (20-byte preamble, shortened
+    levels int[numLevels], min, max, packed retained items; the top
+    boundary is reconstructed as computeTotalItemCapacity(k, m,
+    numLevels) exactly as KllHeapDoublesSketch's segment constructor
+    does at :129-140). Validated in tests/test_ref_goldens.py against
+    the in-tree goldens and live against datasketches-java."""
+    return _from_ref_bytes_typed(buf, seed, "<f8")
+
+
+def from_ref_bytes_floats(buf: bytes, seed: int = 9001) -> "KllDoubles":
+    """Parse a KllFloatsSketch image (kll/KllFloatsSketch.java, same
+    preamble, float32 items) into a KllDoubles — lossless, since every
+    float32 casts exactly to float64."""
+    return _from_ref_bytes_typed(buf, seed, "<f4")
+
+
+def from_ref_bytes_longs(buf: bytes, seed: int = 9001) -> "KllDoubles":
+    """Parse a KllLongsSketch image (kll/KllLongsSketch.java, same
+    preamble, int64 items) into a KllDoubles. Raises if any item or
+    extreme exceeds 2^53 in magnitude (the float64-exact integer
+    range) rather than silently losing precision."""
+    sk = _from_ref_bytes_typed(buf, seed, "<i8")
+    limit = float(1 << 53)
+    vals = [abs(v) for v in (sk._ref_min, sk._ref_max) if v is not None]
+    vals += [float(np.abs(lv).max()) for lv in sk.levels if len(lv)]
+    if any(v > limit for v in vals):
+        raise ValueError("KllLongsSketch item exceeds 2^53; not float64-exact")
     return sk
 
 

@@ -124,6 +124,28 @@ def test_kll_doubles_both_directions(spark):
         assert jk2.getQuantile(float(r)) == ours.get_quantile(r)
 
 
+def test_kll_floats_and_longs_readers(spark):
+    """KllFloatsSketch / KllLongsSketch images (same preamble,
+    different item widths — the type is caller-dispatched, exactly as
+    the reference dispatches heapify by sketch class) parse losslessly
+    into KllDoubles with identical answers."""
+    jvm = spark._jvm
+    jf = jvm.org.apache.datasketches.kll.KllFloatsSketch.newHeapInstance(200)
+    for v in range(30_000):
+        jf.update(float(v))
+    mine = K.from_ref_bytes_floats(bytes(jf.toByteArray()))
+    assert mine.n == 30_000
+    for r in (0.0, 0.5, 1.0):
+        assert mine.get_quantile(r) == jf.getQuantile(float(r))
+    jl = jvm.org.apache.datasketches.kll.KllLongsSketch.newHeapInstance(200)
+    for v in range(20_000):
+        jl.update(v)
+    mine = K.from_ref_bytes_longs(bytes(jl.toByteArray()))
+    assert mine.n == 20_000
+    for r in (0.0, 0.5, 1.0):
+        assert mine.get_quantile(r) == float(jl.getQuantile(float(r)))
+
+
 def test_kll_items_strings_both_directions(spark):
     jvm = spark._jvm
     cmp_ = jvm.java.util.Comparator.naturalOrder()
