@@ -93,6 +93,59 @@ def from_ref_bytes(buf: bytes, seed: int = 9001) -> KllDoubles:
     return sk
 
 
+def to_ref_bytes(sk: KllDoubles) -> bytes:
+    """Serialize a CLASSIC-shaped state back to the reference's
+    DoublesSketch compact serVer-3 image
+    (quantiles/DoublesByteArrayImpl.java:54-121, PreambleUtil layout:
+    pre0 + N + min + max + sorted base buffer + one k-item block per
+    set bit of bitPattern = n/(2k), lowest level first).
+
+    Classic-shaped means the level occupancy the classic algorithm
+    forces: level 0 holds exactly n mod 2k items and classic level j
+    holds exactly k items iff bit j of n/(2k) is set. States parsed by
+    `from_ref_bytes` always qualify (migration round-trip), as does
+    any exact-regime KLL state (n < 2k: everything in level 0). A
+    generic compacted KLL state does not — its level sizes follow the
+    KLL schedule — and raises ValueError; new data should stay on the
+    KLL wire format (kernels/kll.py to_ref_bytes).
+    """
+    k = sk.k
+    n = sk.n
+    #                       READ_ONLY | EMPTY | COMPACT | ORDERED
+    if n == 0:
+        return bytes([1, 3, _FAMILY_QUANTILES, 2 | 4 | 8 | 16]) \
+            + np.array([k], dtype="<u2").tobytes() + b"\x00\x00"
+    bb = n % (2 * k)
+    bit_pattern = n // (2 * k)
+    want = [bb]
+    bp = bit_pattern
+    while bp:
+        want.append(k if (bp & 1) else 0)
+        bp >>= 1
+    got = [len(lv) for lv in sk.levels]
+    while len(got) < len(want):
+        got.append(0)
+    if got != want:
+        raise ValueError(
+            f"not a classic-shaped state for n={n}, k={k}: level sizes "
+            f"{got} != required {want} — only migrated or exact-regime "
+            "states serialize to the classic format")
+    retained = np.concatenate([lv for lv in sk.levels]) if sk.levels \
+        else np.empty(0, np.float64)
+    mn = sk._ref_min if sk._ref_min is not None else float(retained.min())
+    mx = sk._ref_max if sk._ref_max is not None else float(retained.max())
+    parts = [
+        bytes([2, 3, _FAMILY_QUANTILES, 2 | 8 | 16]),
+        np.array([k], dtype="<u2").tobytes(), b"\x00\x00",
+        np.array([n], dtype="<i8").tobytes(),
+        np.array([mn, mx], dtype="<f8").tobytes(),
+        np.sort(np.asarray(sk.levels[0], np.float64)).astype("<f8").tobytes(),
+    ]
+    for j in range(1, len(sk.levels)):
+        parts.append(np.asarray(sk.levels[j], np.float64).astype("<f8").tobytes())
+    return b"".join(parts)
+
+
 def quantile_exclusive(sk: KllDoubles, rank: float) -> float:
     """EXCLUSIVE search criterion (QuantileSearchCriteria.EXCLUSIVE):
     min retained item v with cumweight(v) > rank·n — the rule the

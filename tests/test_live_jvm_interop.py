@@ -166,13 +166,41 @@ def test_kll_items_strings_both_directions(spark):
         assert jk2.getQuantile(float(r)) == ours.get_quantile(r)
 
 
-def test_classic_quantiles_reads_java_images(spark):
+def test_classic_quantiles_byte_identical_both_ways(spark):
+    """Migration lane is now bidirectional: Java DoublesSketch compact
+    images parse, and re-serializing the parsed state reproduces
+    Java's bytes exactly (empty / partial base buffer / multi-level);
+    Java heapifies our images with identical answers. An exact-regime
+    KLL state also serializes to the classic format directly; a
+    generic KLL-compacted state is rejected (KLL is the forward wire
+    format)."""
     jvm = spark._jvm
-    jq = jvm.org.apache.datasketches.quantiles.DoublesSketch.builder().build()
-    for v in range(10_000):
-        jq.update(float(v))
-    mine = CQ.from_ref_bytes(bytes(jq.toByteArray(True)))
-    assert mine.n == jq.getN() == 10_000
+    Mem = jvm.org.apache.datasketches.memory.Memory
+    for n in (0, 7, 100, 10_000):
+        jq = jvm.org.apache.datasketches.quantiles.DoublesSketch.builder().build()
+        for v in range(n):
+            jq.update(float(v))
+        jimg = bytes(jq.toByteArray(True))
+        mine = CQ.from_ref_bytes(jimg)
+        assert mine.n == n
+        ours = CQ.to_ref_bytes(mine)
+        assert ours == jimg
+        jq2 = jvm.org.apache.datasketches.quantiles.DoublesSketch.heapify(
+            Mem.wrap(ours))
+        assert jq2.getN() == n
+        if n:
+            assert jq2.getQuantile(0.5) == jq.getQuantile(0.5)
+    # exact-regime KLL state (no compaction yet) → classic image
+    sk = K.KllDoubles(k=128)
+    sk.update_many(np.arange(100.0))
+    jq3 = jvm.org.apache.datasketches.quantiles.DoublesSketch.heapify(
+        Mem.wrap(CQ.to_ref_bytes(sk)))
+    assert jq3.getN() == 100 and jq3.getQuantile(1.0) == 99.0
+    # generic compacted KLL state must be rejected, not mis-serialized
+    big = K.KllDoubles(k=128)
+    big.update_many(np.arange(5000.0))
+    with pytest.raises(ValueError):
+        CQ.to_ref_bytes(big)
 
 
 # ------------------------------------------------------------- t-digest
