@@ -329,15 +329,20 @@ def _decompose(sk: CpcSketch) -> tuple[np.ndarray | None, np.ndarray]:
     return window, _set_bits_as_pairs(pattern)
 
 
-def _fi_col(pairs: np.ndarray) -> int:
-    """fiCol = numberOfTrailingZeros of the OR of all surprise patterns
-    (CpcSketch.java:572,582)."""
+def _fi_col(pairs: np.ndarray, offset: int) -> int:
+    """fiCol = numberOfTrailingZeros of the OR of all surprise
+    patterns, CLAMPED to the window offset (CpcSketch.java:572-584 —
+    the clamp is the reference's own 'corner case', and since fiCol is
+    only ever refreshed when the window moves, it can never exceed the
+    offset; before the first move it is 0, which the clamp reproduces
+    because offset is 0 in the sparse/hybrid/pinned flavors)."""
     if len(pairs) == 0:
-        return 0
+        # Java: numberOfTrailingZeros(0L) == 64, clamped to offset
+        return offset
     ored = 0
     for col in np.unique(pairs & 63):
         ored |= 1 << int(col)
-    return (ored & -ored).bit_length() - 1
+    return min((ored & -ored).bit_length() - 1, offset)
 
 
 def to_ref_bytes(sk: CpcSketch) -> bytes:
@@ -373,7 +378,7 @@ def to_ref_bytes(sk: CpcSketch) -> bytes:
     offset = determine_correct_offset(lg_k, c)
     pseudo = _pseudo_phase(lg_k, c)
     cw_words = _compress_bytes(window, pseudo)
-    fi_col = _fi_col(pairs)
+    fi_col = _fi_col(pairs, offset)
 
     enc_pairs = pairs
     if len(pairs) > 0:

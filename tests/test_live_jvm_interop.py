@@ -319,6 +319,79 @@ def test_ebpps_both_directions(spark):
     assert je2.getN() == 50 and je2.getC() == je.getC()
 
 
+# ------------------------------------------------- randomized parity
+
+def _cpc_images_equivalent(ours: bytes, theirs: bytes) -> bool:
+    """Byte equality modulo exactly two reference-documented artifacts
+    of history the final state cannot carry:
+
+    - byte 4, the fiCol speed hint: Java refreshes it only when the
+      CPC window moves (CpcSketch.java:572-584), so between moves it
+      is STALE-LOW vs the true count of saturated leading columns;
+      our writer derives it fresh from the final bit matrix. Both are
+      valid hints (every column below either is saturated); ours must
+      be >= Java's.
+    - bytes 16-31 in the HIP-carrying formats, the kxp/hipAccum
+      float64 registers: running float accumulations whose value
+      depends on the refresh schedule (CpcSketch.java:512-535) —
+      per-coupon in Java, batched here — so they agree only to float
+      association (<= ~1e-12 rel), never structurally.
+
+    Everything else — coupon count, compressed window stream,
+    compressed surprise-value stream, all lengths — must be
+    byte-identical."""
+    if ours == theirs:
+        return True
+    if len(ours) != len(theirs) or len(ours) < 8 or ours[5] != theirs[5]:
+        return False
+    fmt = (ours[5] >> 2) & 0x7
+    allowed = {4}
+    if fmt in (3, 5, 7) and len(ours) >= 32:  # HIP formats carry doubles
+        allowed |= set(range(16, 32))
+    diffs = {i for i in range(len(ours)) if ours[i] != theirs[i]}
+    if not diffs <= allowed:
+        return False
+    if 4 in diffs and ours[4] < theirs[4]:
+        return False
+    if diffs & set(range(16, 32)):
+        o = np.frombuffer(ours[16:32], dtype="<f8")
+        t = np.frombuffer(theirs[16:32], dtype="<f8")
+        if not np.allclose(o, t, rtol=1e-11, atol=0):
+            return False
+    return True
+
+
+def test_randomized_streams_byte_identity(spark):
+    """Identity holds on arbitrary streams, not just ramps: random
+    longs (duplicates included), random lgK for CPC — the update
+    path, not a lucky dataset, is what matches. CPC images are
+    byte-identical modulo the fiCol hint and HIP-register float
+    association (see _cpc_images_equivalent); estimates agree to
+    1e-12 rel in the deep sliding regime and exactly on the ramp test
+    above."""
+    jvm = spark._jvm
+    rng = np.random.default_rng(17)
+    for draw in range(4):
+        vals = rng.integers(-(2**62), 2**62, size=int(rng.integers(50, 30000)))
+        vals = np.concatenate([vals, vals[: len(vals) // 3]])  # dups
+        lg_k = int(rng.integers(4, 13))
+        jc = jvm.org.apache.datasketches.cpc.CpcSketch(lg_k)
+        for v in vals:
+            jc.update(int(v))
+        pc = CpcSketch(lg_k=lg_k).update_longs(vals.astype(np.int64))
+        assert _cpc_images_equivalent(
+            cc.to_ref_bytes(pc), bytes(jc.toByteArray())), (draw, lg_k)
+        assert pc.get_estimate() == pytest.approx(jc.getEstimate(), rel=1e-12)
+        # theta exact regime on the same stream (distinct < k)
+        uniq = np.unique(vals)[:4000]
+        jsk = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        for v in uniq:
+            jsk.update(int(v))
+        h = np.sort(tc.hash_longs(uniq.astype(np.int64)))
+        hh, th = tc.build_theta(h, k=4096)
+        assert tc.serialize_compact(hh, th) == bytes(jsk.compact().toByteArray())
+
+
 # ---------------------------------------------------------------- tuple
 
 def test_tuple_aod_byte_identical_both_ways(spark):
