@@ -413,11 +413,16 @@ def _flags_of(st: HllState, empty: bool) -> int:
     return f
 
 
-def to_ref_bytes(st: HllState) -> bytes:
-    """Serialize to an updatable-layout image the reference (and
-    Spark's hll_* functions) heapify: LIST/SET states keep their mode;
-    HLL-mode states write HLL_8 (the union-gadget type, the form
-    HllUnion gadgets always take — hll/HllUnion.java)."""
+def to_ref_bytes(st: HllState, tgt: str | None = None) -> bytes:
+    """Serialize to an image the reference (and Spark's hll_*
+    functions) heapify. LIST/SET states keep their mode. HLL-mode
+    states write `tgt` — default HLL_8 (updatable layout, the
+    union-gadget type HllUnion gadgets always take —
+    hll/HllUnion.java); HLL_6 (6-bit packed registers,
+    hll/Hll6Array.java) and HLL_4 (nibbles offset by curMin with
+    0xF-exception aux map in the COMPACT auxCount-ints layout,
+    hll/Hll4Array.java:90-108 + PreambleUtil aux conventions) complete
+    the write side for every storage form the reader accepts."""
     if st.cur_mode in (LIST, SET):
         coupons = st.coupons.astype("<i4")
         count = len(coupons)
@@ -439,14 +444,43 @@ def to_ref_bytes(st: HllState) -> bytes:
         )
         return pre + struct.pack("<i", count) + coupons.tobytes()
     regs = st.regs
-    pre = struct.pack(
-        "<8B", 10, _SER_VER, _FAMILY_ID, st.lg_k, 0,
-        _flags_of(st, False), st.cur_min, 8 | 2,
-    )
+    tgt = tgt or HLL_8
+    tgt_code = {HLL_4: 0, HLL_6: 4, HLL_8: 8}[tgt]
     body = struct.pack(
         "<ddd", st.hip_accum, st.kxq0, st.kxq1
-    ) + struct.pack("<ii", st.num_at_cur_min, 0)
-    return pre + body + regs.astype(np.uint8).tobytes()
+    )
+    if tgt == HLL_8:
+        pre = struct.pack(
+            "<8B", 10, _SER_VER, _FAMILY_ID, st.lg_k, 0,
+            _flags_of(st, False), st.cur_min, tgt_code | 2,
+        )
+        return pre + body + struct.pack("<ii", st.num_at_cur_min, 0) \
+            + regs.astype(np.uint8).tobytes()
+    if tgt == HLL_6:
+        pre = struct.pack(
+            "<8B", 10, _SER_VER, _FAMILY_ID, st.lg_k, 0,
+            _flags_of(st, False), st.cur_min, tgt_code | 2,
+        )
+        return pre + body + struct.pack("<ii", st.num_at_cur_min, 0) \
+            + _pack6(regs.astype(np.int64)).tobytes()
+    # HLL_4: nibble = value - curMin, 0xF = exception resolved in the
+    # aux map (pair = slot | value<<26), COMPACT aux layout
+    rel = regs.astype(np.int64) - st.cur_min
+    if rel.min() < 0:
+        raise ValueError("register below curMin")
+    exc = rel >= _AUX_TOKEN
+    nibs = np.where(exc, _AUX_TOKEN, rel).astype(np.uint8)
+    nib_bytes = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8)
+    slots = np.nonzero(exc)[0].astype(np.uint32)
+    pairs = (slots | (regs[exc].astype(np.uint32) << np.uint32(_KEY_BITS_26)))
+    lg_arr = max(4, int(np.ceil(np.log2(max(len(pairs), 1) * 4 / 3)))
+                 if len(pairs) else 4)
+    pre = struct.pack(
+        "<8B", 10, _SER_VER, _FAMILY_ID, st.lg_k, lg_arr,
+        _flags_of(st, False) | COMPACT_FLAG, st.cur_min, tgt_code | 2,
+    )
+    return pre + body + struct.pack("<ii", st.num_at_cur_min, len(pairs)) \
+        + nib_bytes.tobytes() + pairs.astype("<u4").tobytes()
 
 
 # --------------------------------------------------------------- union

@@ -171,3 +171,37 @@ def test_rejects_bad_images():
     bad_ver = struct.pack("<8B", 2, 9, 7, 12, 3, 4, 0, 8)
     with pytest.raises(ValueError):
         hc.from_ref_bytes(bad_ver)
+
+
+def test_write_all_hll_storage_targets_live(spark):
+    """Round 5: the write side covers every HLL storage form the
+    reader accepts — HLL_4 (nibbles + curMin offset + exception aux
+    map, compact layout), HLL_6 (6-bit packing), HLL_8. Each image
+    round-trips through our own reader with identical registers and
+    is heapified by datasketches-java AND Spark SQL with the
+    bit-identical estimate."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    Mem = jvm.org.apache.datasketches.memory.Memory
+    Tgt = jvm.org.apache.datasketches.hll.TgtHllType
+    js = jvm.org.apache.datasketches.hll.HllSketch(12, Tgt.HLL_4)
+    for v in range(200_000):
+        js.update(v)
+    st = hc.from_ref_bytes(bytes(js.toCompactByteArray()))
+    assert hc.estimate(st) == js.getEstimate()  # HLL_4 read exact
+    sizes = {}
+    for tgt in (hc.HLL_4, hc.HLL_6, hc.HLL_8):
+        img = hc.to_ref_bytes(st, tgt=tgt)
+        sizes[tgt] = len(img)
+        back = hc.from_ref_bytes(img)
+        np.testing.assert_array_equal(back.regs, st.regs)
+        assert (back.cur_min, back.num_at_cur_min) == (st.cur_min, st.num_at_cur_min)
+        js2 = jvm.org.apache.datasketches.hll.HllSketch.heapify(Mem.wrap(img))
+        assert js2.getEstimate() == hc.estimate(st), tgt
+        spark_est = spark.createDataFrame(
+            [(bytearray(img),)], "sk binary"
+        ).select(F.hll_sketch_estimate("sk")).collect()[0][0]
+        assert spark_est == round(hc.estimate(st)), tgt
+    assert sizes[hc.HLL_4] < sizes[hc.HLL_6] < sizes[hc.HLL_8]
