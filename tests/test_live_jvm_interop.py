@@ -103,6 +103,29 @@ def test_cpc_images_byte_identical_estimates_bit_equal(spark):
         assert jc2.getEstimate() == pc.get_estimate()
 
 
+def test_cpc_union_byte_identical(spark):
+    """Python-side CPC merge == Java's CpcUnion: the merged sketch's
+    compressed image is byte-identical and the (merged-flag ICON)
+    estimate bit-equal."""
+    jvm = spark._jvm
+    a = np.arange(0, 60_000, dtype=np.int64)
+    b = np.arange(30_000, 90_000, dtype=np.int64)
+    ja = jvm.org.apache.datasketches.cpc.CpcSketch(11)
+    jb = jvm.org.apache.datasketches.cpc.CpcSketch(11)
+    for v in a:
+        ja.update(int(v))
+    for v in b:
+        jb.update(int(v))
+    ju = jvm.org.apache.datasketches.cpc.CpcUnion(11)
+    ju.update(ja)
+    ju.update(jb)
+    jr = ju.getResult()
+    pu = CpcSketch(lg_k=11).update_longs(a).merge(
+        CpcSketch(lg_k=11).update_longs(b))
+    assert pu.get_estimate() == jr.getEstimate()
+    assert cc.to_ref_bytes(pu) == bytes(jr.toByteArray())
+
+
 # ----------------------------------------------------------------- KLL
 
 def test_kll_doubles_both_directions(spark):
