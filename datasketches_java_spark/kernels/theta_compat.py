@@ -227,6 +227,9 @@ def deserialize_compact(
         return _deserialize_v4(buf, pre_longs, seed, check_seed)
     if ser_ver != SER_VER:
         raise ValueError(f"unsupported theta serial version {ser_ver}")
+    if fam in (2, 4):
+        return _deserialize_updatable(
+            buf, fam, pre_longs, seed_hash, seed, check_seed)
     if fam != FAMILY_COMPACT:
         raise ValueError(f"not a compact theta image (family {fam})")
     if check_seed and seed_hash != compute_seed_hash(seed):
@@ -291,3 +294,47 @@ def _deserialize_legacy(
         raise ValueError(f"bad theta v2 preLongs {pre_longs}")
     h = np.frombuffer(buf, dtype="<i8", count=n, offset=off).astype(np.int64)
     return h, int(theta_long), False
+
+
+def _deserialize_updatable(
+    buf: bytes, fam: int, pre_longs: int, seed_hash: int,
+    seed: int, check_seed: bool,
+) -> tuple[np.ndarray, int, bool]:
+    """Heapify the UPDATABLE serial-v3 layouts — family 2
+    (UpdatableThetaSketch/QuickSelect, preLongs=3: lgNom@3 lgArr@4,
+    retEntries@8, p@12, thetaLong@16, 2^lgArr-long hash table @24 with
+    zero = empty slot) and family 4 (ThetaUnion gadget, preLongs=4:
+    + unionThetaLong@24, table @32), per theta/PreambleUtil.java:142-183.
+    Java users persist these working forms, not just compact images;
+    this gives them the same migration story the compact/legacy/v4
+    readers already provide. The union gadget's effective theta is
+    min(thetaLong, unionThetaLong) (ThetaUnionImpl.getResult
+    semantics); entries >= theta are dropped on heapify exactly as the
+    reference's compacting heapify does."""
+    if check_seed and seed_hash != compute_seed_hash(seed):
+        raise ValueError("seed hash mismatch")
+    want_pre = 3 if fam == 2 else 4
+    if pre_longs != want_pre:
+        raise ValueError(
+            f"family-{fam} updatable image needs {want_pre} preamble longs, "
+            f"got {pre_longs}")
+    lg_arr = buf[4]
+    (n_ret,) = struct.unpack_from("<i", buf, 8)
+    (theta_long,) = struct.unpack_from("<q", buf, 16)
+    if fam == 4:
+        (union_theta,) = struct.unpack_from("<q", buf, 24)
+        theta_long = min(theta_long, union_theta)
+    table_off = want_pre * 8
+    table = np.frombuffer(
+        buf, dtype="<i8", count=1 << lg_arr, offset=table_off)
+    h = np.sort(table[(table != 0) & (table < theta_long)]).astype(np.int64)
+    if fam == 4:
+        # ThetaUnion.getResult applies the curCount > k correction on
+        # extraction (CompactOperations.correctThetaOnCompact): keep
+        # the bottom k = 2^lgNomLongs entries, theta = (k+1)-th
+        k = 1 << buf[3]
+        if len(h) > k:
+            theta_long = int(h[k])
+            h = h[:k]
+    empty = len(h) == 0 and theta_long == LONG_MAX and n_ret == 0
+    return h, int(theta_long), empty

@@ -85,6 +85,40 @@ def test_theta_images_byte_identical_and_cross_read(spark):
             assert len(v4) < len(jimg)  # compression actually compresses
 
 
+def test_theta_updatable_images_heapify(spark):
+    """Family-2 (UpdateSketch/QuickSelect) and family-4 (Union gadget)
+    UPDATABLE serial-v3 images — the working forms Java users persist
+    via UpdateSketch.toByteArray()/Union.toByteArray() — heapify into
+    the same state Java's own compact() / getResult() report:
+    retained-entry count equal, estimate bit-equal, empty flag equal.
+    Covers empty, exact, and estimating regimes, including the union
+    gadget's curCount > k theta-correction on extraction
+    (CompactOperations.correctThetaOnCompact)."""
+    jvm = spark._jvm
+    for n in (0, 1, 1000, 20_000):  # empty, single, exact, estimating
+        jsk = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        for v in range(n):
+            jsk.update(v)
+        h, th, empty = tc.deserialize_compact(bytes(jsk.toByteArray()))
+        comp = jsk.compact()
+        assert len(h) == comp.getRetainedEntries(True)
+        assert tc.estimate(len(h), th) == comp.getEstimate()
+        assert empty == comp.isEmpty()
+    for na in (10, 6000):  # exact union, estimating union (curCount > k)
+        u = jvm.org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+        a = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        b = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        for v in range(na):
+            a.update(v)
+            b.update(v + na // 2)
+        u.union(a)
+        u.union(b)
+        h, th, _ = tc.deserialize_compact(bytes(u.toByteArray()))
+        res = u.getResult()
+        assert len(h) == res.getRetainedEntries(True)
+        assert tc.estimate(len(h), th) == res.getEstimate()
+
+
 # ----------------------------------------------------------------- CPC
 
 def test_cpc_images_byte_identical_estimates_bit_equal(spark):
