@@ -298,3 +298,83 @@ def aod_from_ref_bytes(buf: bytes, check_seed_hash: int | None = None) -> ArrayO
         hashes=hashes, values=values, theta_long=int(theta_long),
         empty=empty, seed_hash=seed_hash,
     )
+
+
+_AOD_QS_TYPE = 2      # SketchType.ArrayOfDoublesQuickSelectSketch
+_AOD_UNION_TYPE = 4   # SketchType.ArrayOfDoublesUnion
+
+
+def aod_from_ref_updatable_bytes(
+    buf: bytes, check_seed_hash: int | None = None
+) -> ArrayOfDoublesSketchImage:
+    """Heapify the UPDATABLE ArrayOfDoubles working forms Java users
+    persist — sketchType 2 (ArrayOfDoublesQuickSelectSketch, the image
+    ArrayOfDoublesUpdatableSketch.toByteArray() writes) and sketchType
+    4 (ArrayOfDoublesUnion.toByteArray(): 16-byte union preamble with
+    unionThetaLong@8, then the gadget QuickSelect image).
+
+    QuickSelect layout (ArrayOfDoublesQuickSelectSketch.java:46-53,
+    HeapArrayOfDoublesQuickSelectSketch.serializeInto): 8-byte header
+    (preLongs=1 serVer=1 family=9 type=2 flags numValues seedHash),
+    thetaLong@8, lgNomEntries@16, lgCurCapacity@17, lgRF@18,
+    samplingP float@20, retainedEntries int@24, keys long[2^lgCap]@32
+    (open hash table, 0 = empty slot), values double[2^lgCap *
+    numValues] slot-aligned after the keys.
+
+    Union extraction rule (ArrayOfDoublesUnion.getResult:142-151):
+    effective theta = min(unionThetaLong, gadget theta); if the gadget
+    retains more than its nominal k, theta drops to the (k+1)-th
+    smallest key and only the bottom k survive — the same
+    correctThetaOnCompact rule the plain Theta union applies.
+    """
+    import struct
+
+    if len(buf) < 8:
+        raise ValueError("AoD updatable image too short")
+    is_union = buf[3] == _AOD_UNION_TYPE
+    union_theta = _LONG_MAX
+    if is_union:
+        if buf[2] != _FAMILY_TUPLE:
+            raise ValueError(f"not a tuple image (family {buf[2]})")
+        (union_theta,) = struct.unpack_from("<q", buf, 8)
+        buf = buf[16:]
+    _pre, ser_ver, fam, stype2, flags, num_values, seed_hash = struct.unpack_from(
+        "<BBBBBBH", buf, 0
+    )
+    if fam != _FAMILY_TUPLE:
+        raise ValueError(f"not a tuple image (family {fam})")
+    if ser_ver != 1 or stype2 != _AOD_QS_TYPE:
+        raise ValueError(
+            f"not an ArrayOfDoublesQuickSelectSketch image "
+            f"(serVer {ser_ver}, type {stype2})"
+        )
+    if check_seed_hash is not None and seed_hash != check_seed_hash:
+        raise ValueError("seed hash mismatch")
+    (theta_long,) = struct.unpack_from("<q", buf, 8)
+    theta_long = min(int(theta_long), int(union_theta))
+    empty = bool(flags & _AOD_F_EMPTY)
+    if not (flags & _AOD_F_HAS_ENTRIES):
+        return ArrayOfDoublesSketchImage(
+            hashes=np.empty(0, np.int64),
+            values=np.empty((0, num_values)),
+            theta_long=theta_long, empty=empty, seed_hash=seed_hash,
+        )
+    lg_nom = buf[16]
+    cap = 1 << buf[17]
+    keys = np.frombuffer(buf, "<i8", count=cap, offset=32)
+    values = np.frombuffer(
+        buf, "<f8", count=cap * num_values, offset=32 + 8 * cap
+    ).reshape(cap, num_values)
+    live = (keys != 0) & (keys < theta_long)
+    order = np.argsort(keys[live], kind="stable")
+    hashes = keys[live][order].astype(np.int64)
+    vals = values[live][order]
+    if is_union:
+        k = 1 << lg_nom
+        if len(hashes) > k:
+            theta_long = int(hashes[k])
+            hashes, vals = hashes[:k], vals[:k]
+    return ArrayOfDoublesSketchImage(
+        hashes=hashes.copy(), values=vals.copy(), theta_long=theta_long,
+        empty=empty, seed_hash=seed_hash,
+    )

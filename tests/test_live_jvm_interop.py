@@ -468,3 +468,49 @@ def test_tuple_aod_byte_identical_both_ways(spark):
     jt2 = jvm.org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesSketches.heapifySketch(
         _mem(spark, TPC.aod_to_ref_bytes(mine)))
     assert jt2.getEstimate() == mine.estimate()
+
+
+def test_tuple_aod_updatable_images_heapify(spark):
+    """The UPDATABLE ArrayOfDoubles working forms — sketchType-2
+    QuickSelect images from ArrayOfDoublesUpdatableSketch.toByteArray()
+    and sketchType-4 union-gadget images from
+    ArrayOfDoublesUnion.toByteArray() — heapify into the same state
+    Java's own compact()/getResult() report: retained entries and
+    estimate bit-equal, per-column sums equal, empty flag equal.
+    Covers empty, exact, estimating (retained > nominal k without
+    trim), and the union extraction's theta-drop to the (k+1)-th key
+    (ArrayOfDoublesUnion.getResult:142-151)."""
+    jvm = spark._jvm
+
+    def build(n, off=0):
+        bld = (jvm.org.apache.datasketches.tuple.arrayofdoubles
+               .ArrayOfDoublesUpdatableSketchBuilder())
+        bld.setNumberOfValues(2)
+        sk = bld.build()
+        arr = spark._sc._gateway.new_array(jvm.double, 2)
+        for v in range(n):
+            arr[0] = float(v % 7)
+            arr[1] = 1.0
+            sk.update(v + off + _LONG_BOX, arr)
+        return sk
+
+    for n in (0, 1, 100, 9000):  # empty, single, exact, estimating
+        sk = build(n)
+        mine = TPC.aod_from_ref_updatable_bytes(bytes(sk.toByteArray()))
+        comp = sk.compact()
+        assert mine.retained == comp.getRetainedEntries()
+        assert mine.estimate() == comp.getEstimate()
+        assert mine.empty == comp.isEmpty()
+        if mine.retained:
+            jsum = sum(row[1] for row in comp.getValues())
+            assert abs(jsum - mine.values[:, 1].sum()) < 1e-9
+
+    u = (jvm.org.apache.datasketches.tuple.arrayofdoubles
+         .ArrayOfDoublesSetOperationBuilder()
+         .setNumberOfValues(2).buildUnion())
+    u.union(build(6000).compact())
+    u.union(build(6000, off=3000).compact())
+    mine = TPC.aod_from_ref_updatable_bytes(bytes(u.toByteArray()))
+    res = u.getResult()
+    assert mine.retained == res.getRetainedEntries()
+    assert mine.estimate() == res.getEstimate()
