@@ -402,6 +402,24 @@ def _q_hll_interop_audit(spark, sf_dir):
     return hll_interop_audit(ev, "event_type", "user_id", lg_k=12)
 
 
+def _q_theta_kll_interop_audit(spark, sf_dir):
+    """Cross-language theta + KLL wire-format audit (reference
+    theta/PreambleUtil.java serial-v4/v3 + kll/KllPreambleUtil.java,
+    kernels/theta_compat.py + kernels/kll.py): the JVM's embedded
+    datasketches-java builds per-group theta (serial-v4 compressed)
+    and KllDoublesSketch images; Python re-reads each, re-answers
+    (estimate / sorted-view quantiles), re-serializes, and the JVM
+    re-reads the Python-written images. theta_ok / kll_ok are TRUE per
+    group iff every leg agrees exactly — deterministic invariants the
+    oracle asserts, proven live by the actual Java library."""
+    from datasketches_java_spark.functions.theta_kll_interop import (
+        theta_kll_interop_audit,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return theta_kll_interop_audit(ev, "event_type", "user_id", "value", lg_k=12)
+
+
 def _q_cpc_users_by_type(spark, sf_dir):
     """CPC distinct users per event type (reference C1-C3,
     cpc/CpcSketch.java + CpcUnion.java via kernels/cpc.py): distributed
@@ -790,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_pairs": _q_substring_dup_pairs,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "hll_interop_audit": _q_hll_interop_audit,
+        "theta_kll_interop_audit": _q_theta_kll_interop_audit,
         # rows-only (non-SQL-expressible sketch/LSH ops; accuracy
         # contracts pytest-gated — HLL vs reference error tables,
         # LSH-ANN recall vs brute force, multi-channel cluster cover)
@@ -1212,6 +1231,15 @@ def oracle_sql() -> dict[str, str]:
             -- embedded datasketches-java for EVERY group; the Spark
             -- side computes the three-way agreement for real
             SELECT event_type, TRUE AS interop_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "theta_kll_interop_audit": """
+            -- deterministic invariant (ANN-recall-gate trick): the
+            -- Python theta serial-v4 reader / v3 writer and the KLL
+            -- image reader / sorted-view / writer must agree with the
+            -- JVM's embedded datasketches-java for EVERY group; the
+            -- Spark side computes the agreement legs for real
+            SELECT event_type, TRUE AS theta_ok, TRUE AS kll_ok
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "ks_caption_len_sources": """
