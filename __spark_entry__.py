@@ -420,6 +420,23 @@ def _q_theta_kll_interop_audit(spark, sf_dir):
     return theta_kll_interop_audit(ev, "event_type", "user_id", "value", lg_k=12)
 
 
+def _q_sketch_family_audit(spark, sf_dir):
+    """Live cross-library audit for the families Spark has no built-in
+    aggregate for (reference cpc/CpcSketch.java + CpcCompression.java,
+    tuple/arrayofdoubles/ArrayOfDoublesCompactSketch.java,
+    frequencies/LongsSketch.java): per-group Arrow batches build
+    reference-wire-format images with the Python kernels
+    (kernels/cpc_compat.py, tuple_compat.py, freq_compat.py); the
+    datasketches-java jar embedded in Spark heapifies each and must
+    agree — CPC/tuple byte-identical round-trip + bit-equal estimates,
+    frequent-items stream length + top-item estimates exact. The
+    deterministic TRUE invariants are oracle-asserted."""
+    from datasketches_java_spark.functions.live_audit import sketch_family_audit
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sketch_family_audit(ev, "event_type", "user_id", "value", lg_k=11)
+
+
 def _q_cpc_users_by_type(spark, sf_dir):
     """CPC distinct users per event type (reference C1-C3,
     cpc/CpcSketch.java + CpcUnion.java via kernels/cpc.py): distributed
@@ -809,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "hll_interop_audit": _q_hll_interop_audit,
         "theta_kll_interop_audit": _q_theta_kll_interop_audit,
+        "sketch_family_audit": _q_sketch_family_audit,
         # rows-only (non-SQL-expressible sketch/LSH ops; accuracy
         # contracts pytest-gated — HLL vs reference error tables,
         # LSH-ANN recall vs brute force, multi-channel cluster cover)
@@ -1240,6 +1258,15 @@ def oracle_sql() -> dict[str, str]:
             -- JVM's embedded datasketches-java for EVERY group; the
             -- Spark side computes the agreement legs for real
             SELECT event_type, TRUE AS theta_ok, TRUE AS kll_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "sketch_family_audit": """
+            -- deterministic invariant (recall-gate trick): the live
+            -- datasketches-java jar must heapify every Python-written
+            -- CPC / ArrayOfDoubles / frequent-items image and agree
+            -- exactly; the Spark side computes the agreement for real
+            SELECT event_type AS "group",
+                   TRUE AS cpc_ok, TRUE AS tuple_ok, TRUE AS freq_ok
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "ks_caption_len_sources": """
