@@ -2,11 +2,12 @@
 and an Iceberg-or-parquet checkpoint writer.
 
 At production scale the corpus is an Iceberg table partitioned by
-bucket(image_id) (SURVEY.md §1.5); this container has no Iceberg
-runtime jar, so `write_checkpoint`/`read_checkpoint` fall back to
-parquet with the same dataframe-level API and atomic-replace
-semantics. The pipeline only touches these two functions, so swapping
-in `writeTo(...).createOrReplace()` is a one-file change.
+bucket(image_id) (SURVEY.md §1.5). `write_checkpoint`/`read_checkpoint`
+carry both lanes: a catalog-namespace root + Iceberg runtime on the
+classpath selects `writeTo(...).createOrReplace()` (atomic snapshot
+commit); a filesystem root — all this container can exercise, no
+Iceberg jar — takes the parquet lane with the same DataFrame-level
+API and `_SUCCESS`-gated atomic-replace semantics.
 """
 
 from __future__ import annotations
@@ -54,8 +55,32 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _is_table_root(root: str) -> bool:
+    """A checkpoint root that names a catalog namespace (``cat.db``)
+    rather than a filesystem path selects the Iceberg lane."""
+    return os.sep not in root and "." in root
+
+
 def write_checkpoint(df: DataFrame, root: str, name: str, partition_by: list[str] | None = None) -> str:
-    """Atomic checkpoint write (Iceberg in prod, parquet fallback here)."""
+    """Atomic checkpoint write.
+
+    Iceberg lane (prod): ``root`` is a catalog namespace and the
+    Iceberg Spark runtime is on the classpath → ``writeTo(...)
+    .createOrReplace()`` — a single atomic snapshot commit, readable
+    concurrently at the previous snapshot (the cluster-scale analog of
+    the parquet ``_SUCCESS`` + atomic-rename discipline used below).
+    Parquet lane (this container, no Iceberg jar): path-based
+    ``mode("overwrite")`` with the same DataFrame-level API.
+    """
+    if _is_table_root(root) and _iceberg_available(df.sparkSession):
+        ident = f"{root}.{name}"
+        w = df.writeTo(ident).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+        return ident
     path = os.path.join(root, name)
     w = df.write.mode("overwrite")
     if partition_by:
@@ -65,10 +90,19 @@ def write_checkpoint(df: DataFrame, root: str, name: str, partition_by: list[str
 
 
 def read_checkpoint(spark: SparkSession, root: str, name: str) -> DataFrame:
+    if _is_table_root(root) and _iceberg_available(spark):
+        return spark.read.table(f"{root}.{name}")
     return spark.read.parquet(os.path.join(root, name))
 
 
-def checkpoint_exists(root: str, name: str) -> bool:
+def checkpoint_exists(root: str, name: str, spark: SparkSession | None = None) -> bool:
+    if _is_table_root(root):
+        if spark is None:
+            return False
+        try:
+            return spark.catalog.tableExists(f"{root}.{name}")
+        except Exception:
+            return False
     return os.path.exists(os.path.join(root, name, "_SUCCESS"))
 
 
