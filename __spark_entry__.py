@@ -681,6 +681,30 @@ def _q_varopt_cluster_sample(spark, sf_dir):
     )
 
 
+def _q_partition_boundaries_orders(spark, sf_dir):
+    """Equi-weight partition boundaries over orders.o_totalprice — the
+    reference Partitioner (partitions/Partitioner.java:113-166, P1) as
+    ONE distributed KLL pass per level (operators/partitioner.py).
+
+    ORACLE-CHECKED in the exact regime (k=2^18 ≥ table rows at every
+    gate/bench tier, no compaction): under the INCLUSIVE criterion the
+    boundaries are position math — boundary_p = sorted[ceil(p·n/P)],
+    delta_p = ceil(p·n/P) − ceil((p−1)·n/P) (+1 at p=1) — which DuckDB
+    reproduces with row_number(). The lossy regime's rank-error
+    contract is pytest-gated (tests/test_partitioner.py live parity
+    with the embedded Java GenericPartitionBoundaries)."""
+    from datasketches_java_spark.operators.partitioner import (
+        partition_boundaries,
+        partition_boundaries_df,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    rows = partition_boundaries(
+        orders, "o_totalprice", num_parts=8, k=1 << 18
+    )
+    return partition_boundaries_df(spark, rows)
+
+
 def _q_corpus_clusters_multichannel(spark, sf_dir):
     """The full pipeline's clusters (caption + SimHash + pHash channels
     merged): strictly coarser than the caption-exact clustering, so the
@@ -821,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cluster_audits": _q_corpus_cluster_audits,
         "corpus_clusters_multichannel_cover": _q_corpus_clusters_multichannel_cover,
         "varopt_cluster_sample": _q_varopt_cluster_sample,
+        "partition_boundaries_orders": _q_partition_boundaries_orders,
         "simhash_dup_docs": _q_simhash_dup_docs,
         "substring_dup_pairs": _q_substring_dup_pairs,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
@@ -1021,6 +1046,40 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT cluster_id, cluster_size
                   FROM read_parquet('{golden_clusters}')
                   WHERE cluster_size > 1)
+        """,
+        "partition_boundaries_orders": """
+            -- exact-regime equi-weight boundaries (INCLUSIVE): position
+            -- math on the sorted column — boundary_p = v@ceil(p*n/8),
+            -- delta_1 = ceil(n/8), delta_p = ceil(pn/8)-ceil((p-1)n/8)
+            WITH s AS (
+              SELECT o_totalprice AS v,
+                     row_number() OVER (ORDER BY o_totalprice) AS rn,
+                     count(*) OVER () AS n
+              FROM orders
+            ),
+            meta AS (SELECT max(n) AS n, min(v) AS minv FROM s),
+            p AS (SELECT CAST(range AS INT) AS part FROM range(1, 9)),
+            cuts AS (
+              SELECT p.part,
+                     (p.part * meta.n + 7) // 8 AS r_hi,
+                     ((p.part - 1) * meta.n + 7) // 8 AS r_lo,
+                     meta.minv
+              FROM p, meta
+            )
+            SELECT c.part,
+                   '1.' || CAST(c.part AS VARCHAR) AS level_part_id,
+                   CASE WHEN c.part = 1 THEN c.minv ELSE slo.v END AS lower,
+                   shi.v AS upper,
+                   CASE WHEN c.part = 1
+                        THEN (CASE WHEN c.minv = shi.v
+                              THEN 'INCLUDE_UPPER' ELSE 'INCLUDE_BOTH' END)
+                        ELSE 'INCLUDE_UPPER' END AS rule,
+                   CAST(CASE WHEN c.part = 1 THEN c.r_hi
+                        ELSE c.r_hi - c.r_lo END AS BIGINT) AS approx_rows
+            FROM cuts c
+            JOIN s shi ON shi.rn = c.r_hi
+            LEFT JOIN s slo ON slo.rn = c.r_lo
+            ORDER BY c.part
         """,
         "corpus_cluster_audits": f"""
             -- discrete inclusive quantiles with integer rank fractions:
