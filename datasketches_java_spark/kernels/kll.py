@@ -154,27 +154,31 @@ class KllDoubles:
             cum = np.concatenate([cum, [n]])
         return it, cum
 
-    def get_quantile(self, rank: float) -> float:
-        """INCLUSIVE search criterion (QuantileSearchCriteria.java:41)."""
+    def get_quantile(self, rank: float, inclusive: bool = True) -> float:
+        """Both reference criteria (QuantileSearchCriteria.java:41,59)
+        via the shared sorted-view search (kernels/quantile_search.py)."""
+        from .quantile_search import quantile_from_view
+
         it, cum = self._view_with_minmax()
         if len(it) == 0:
             return float("nan")
-        pos = rank * self.n
-        idx = int(np.searchsorted(cum, pos, side="left"))
-        return float(it[min(idx, len(it) - 1)])
+        return float(quantile_from_view(it, cum, self.n, rank, inclusive))
 
-    def get_rank(self, value: float) -> float:
+    def get_rank(self, value: float, inclusive: bool = True) -> float:
+        from .quantile_search import rank_from_view
+
         it, cum = self._view_with_minmax()
         if len(it) == 0:
             return float("nan")
-        idx = int(np.searchsorted(it, value, side="right"))
-        return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
+        return rank_from_view(it, cum, self.n, value, inclusive)
 
-    def get_cdf(self, split_points: np.ndarray) -> np.ndarray:
-        return np.array([self.get_rank(float(v)) for v in split_points] + [1.0])
+    def get_cdf(self, split_points: np.ndarray, inclusive: bool = True) -> np.ndarray:
+        return np.array(
+            [self.get_rank(float(v), inclusive) for v in split_points] + [1.0]
+        )
 
-    def get_pmf(self, split_points: np.ndarray) -> np.ndarray:
-        cdf = self.get_cdf(split_points)
+    def get_pmf(self, split_points: np.ndarray, inclusive: bool = True) -> np.ndarray:
+        cdf = self.get_cdf(split_points, inclusive)
         return np.diff(np.concatenate([[0.0], cdf]))
 
     # --- serialization (versioned preamble, PreambleUtil discipline) ---

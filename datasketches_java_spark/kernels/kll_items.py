@@ -173,20 +173,23 @@ class KllItems:
         idx = int(np.searchsorted(q * cum, p * self.n, side="left"))
         return it[min(idx, len(it) - 1)]
 
-    def get_quantile(self, rank: float):
+    def get_quantile(self, rank: float, inclusive: bool = True):
+        """Both reference criteria (QuantileSearchCriteria.java:41,59)."""
+        from .quantile_search import quantile_from_view
+
         it, cum = self._view_with_minmax()
         if len(it) == 0:
             return None
-        idx = int(np.searchsorted(cum, rank * self.n, side="left"))
-        return it[min(idx, len(it) - 1)]
+        return quantile_from_view(it, cum, self.n, rank, inclusive)
 
-    def get_rank(self, value) -> float:
-        """Normalized rank of `value`, inclusive criterion."""
+    def get_rank(self, value, inclusive: bool = True) -> float:
+        """Normalized rank of `value` under either criterion."""
+        from .quantile_search import rank_from_view
+
         it, cum = self._view_with_minmax()
         if len(it) == 0:
             return float("nan")
-        idx = int(np.searchsorted(it, value, side="right"))
-        return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
+        return rank_from_view(it, cum, self.n, value, inclusive)
 
     # --- reference wire format (KllItemsSketch<String>) ---
 

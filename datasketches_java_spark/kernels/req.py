@@ -245,19 +245,23 @@ class ReqDoubles:
             cum = np.concatenate([cum, [n]])
         return it, cum
 
-    def get_rank(self, value: float) -> float:
-        it, cum = self._view_with_minmax()
-        if len(it) == 0:
-            return float("nan")
-        idx = int(np.searchsorted(it, value, side="right"))
-        return float(cum[idx - 1]) / self.n if idx > 0 else 0.0
+    def get_rank(self, value: float, inclusive: bool = True) -> float:
+        """Both reference criteria (BaseReqSketch.java getRank over
+        quantilescommon/QuantileSearchCriteria.java:41,59)."""
+        from .quantile_search import rank_from_view
 
-    def get_quantile(self, rank: float) -> float:
         it, cum = self._view_with_minmax()
         if len(it) == 0:
             return float("nan")
-        idx = int(np.searchsorted(cum, rank * self.n, side="left"))
-        return float(it[min(idx, len(it) - 1)])
+        return rank_from_view(it, cum, self.n, value, inclusive)
+
+    def get_quantile(self, rank: float, inclusive: bool = True) -> float:
+        from .quantile_search import quantile_from_view
+
+        it, cum = self._view_with_minmax()
+        if len(it) == 0:
+            return float("nan")
+        return float(quantile_from_view(it, cum, self.n, rank, inclusive))
 
     # --- a-priori error bounds (BaseReqSketch.java:191-216) -----------
 
