@@ -167,9 +167,14 @@ def substring_dup_pairs(
     Returns (id_a, id_b, n_shared) with id_a < id_b; n_shared counts
     DISTINCT length-`min_len` windows the two documents share.
 
-    Plan: explode each document's distinct character windows, one
-    shuffle on the window key, aggregate pair counts. Exact by
-    construction (the join key IS the substring). Scale shape: window
+    Plan: explode each document's distinct character windows, ONE
+    shuffle on the window key (groupBy + group pair-decode, not a
+    two-sided self-join: each window string crosses the wire once and
+    the window explode runs once, vs twice each for the a/b join —
+    equal wall on this single-node memory-bus-bound sandbox at sf0.1,
+    ~2x less exchange volume on a real cluster), decode each window
+    group into its doc pairs JVM-side, aggregate pair counts. Exact by
+    construction (the group key IS the substring). Scale shape: window
     count is O(total chars); at the 100 TB tier the production
     variant keys the shuffle on a Rabin-Karp/xxhash64 of the window
     (int64-only exchange, ids join back for the verify) — the corpus
@@ -183,11 +188,17 @@ def substring_dup_pairs(
         f"  sequence(1, length({text_col}) - {min_len - 1}),"
         f"  i -> substring({text_col}, i, {min_len})))) AS sub",
     )
-    a = subs.select(F.col("id").alias("id_a"), "sub")
-    b = subs.select(F.col("id").alias("id_b"), "sub")
-    return (
-        a.join(b, "sub")
+    groups = (
+        subs.groupBy("sub")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select("ids")
+    )
+    pairs = (
+        groups.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("bigint").alias("n_shared")
     )
