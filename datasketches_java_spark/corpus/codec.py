@@ -136,3 +136,87 @@ def phash64_batch_pixels(stack: np.ndarray) -> np.ndarray:
     bits[:, 0] = (block[:, 0] > block[:, 1:].mean(axis=1)).astype(np.uint8)
     packed = np.packbits(bits, axis=1)
     return packed.view(">u8")[:, 0].astype(np.uint64).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# TVID: seekable toy video container (frame-sample plumbing)
+# ---------------------------------------------------------------------------
+# Layout: b"TVID" | u8 version | u8 pad | <u2 fps | <u4 n_frames |
+#         <u4 index[n_frames] (byte length of each encoded TIMG frame) |
+#         concatenated TIMG frame payloads.
+# The up-front length index is the whole point: `decode_video_frame`
+# seeks straight to frame i and decodes ONLY it, so sampling k frames
+# from an n-frame video costs O(k) decode + O(1) header read, never
+# O(n) — the same contract a real container (MP4 stbl/stsz) gives a
+# production frame sampler. Foreign containers raise
+# NotImplementedError exactly like foreign image formats (driver
+# instruction: stub the codec, make the Spark plumbing real).
+
+VMAGIC = b"TVID"
+
+
+def encode_video(frames: list[np.ndarray], fps: int = 24,
+                 fmt: str = "png", quality: int = 90) -> bytes:
+    """frames: list of uint8 (h, w, 3) arrays → TVID bytes."""
+    payloads = [encode(f, fmt=fmt, quality=quality) for f in frames]
+    head = (VMAGIC + bytes([1, 0]) + np.array([fps], "<u2").tobytes()
+            + np.array([len(payloads)], "<u4").tobytes()
+            + np.array([len(p) for p in payloads], "<u4").tobytes())
+    return head + b"".join(payloads)
+
+
+def video_meta(buf: bytes) -> dict:
+    """Header-only parse: (n_frames, fps, per-frame offsets). O(index),
+    no frame decode."""
+    if buf[:4] != VMAGIC:
+        raise NotImplementedError(
+            "non-TVID video container: real demuxers (ffmpeg/pyav) are "
+            "not available in this container; plug them in here"
+        )
+    fps = int(np.frombuffer(buf[6:8], "<u2")[0])
+    n = int(np.frombuffer(buf[8:12], "<u4")[0])
+    lens = np.frombuffer(buf[12:12 + 4 * n], "<u4").astype(np.int64)
+    offsets = 12 + 4 * n + np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return {"n_frames": n, "fps": fps, "offsets": offsets, "lengths": lens,
+            "version": int(buf[4])}
+
+
+def decode_video_frame(buf: bytes, idx: int,
+                       meta: dict | None = None) -> tuple[np.ndarray, dict]:
+    """Seek-decode frame `idx` only (see layout note above)."""
+    m = meta if meta is not None else video_meta(buf)
+    if not 0 <= idx < m["n_frames"]:
+        raise IndexError(f"frame {idx} of {m['n_frames']}")
+    o, ln = int(m["offsets"][idx]), int(m["lengths"][idx])
+    return decode(buf[o:o + ln])
+
+
+# ---------------------------------------------------------------------------
+# TAUD: toy PCM audio container
+# ---------------------------------------------------------------------------
+# Layout: b"TAUD" | u8 version | u8 pad | <u2 unused | <u4 sample_rate |
+#         <u4 n_samples | int16 PCM mono samples.
+
+AMAGIC = b"TAUD"
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """samples: int16 mono PCM → TAUD bytes."""
+    s = np.asarray(samples, dtype="<i2")
+    return (AMAGIC + bytes([1, 0]) + np.array([0], "<u2").tobytes()
+            + np.array([sample_rate, s.size], "<u4").tobytes()
+            + s.tobytes())
+
+
+def decode_audio(buf: bytes) -> tuple[np.ndarray, dict]:
+    """TAUD bytes → (int16 samples, meta). Raises on foreign formats."""
+    if buf[:4] != AMAGIC:
+        raise NotImplementedError(
+            "non-TAUD audio format: real decoders (libsndfile/ffmpeg) "
+            "are not available in this container; plug them in here"
+        )
+    rate = int(np.frombuffer(buf[8:12], "<u4")[0])
+    n = int(np.frombuffer(buf[12:16], "<u4")[0])
+    samples = np.frombuffer(buf[16:16 + 2 * n], "<i2")
+    return samples, {"sample_rate": rate, "n_samples": n,
+                     "version": int(buf[4])}

@@ -129,3 +129,128 @@ def psnr_pairs(df_pairs: DataFrame, corpus: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id_a", "id_b", "psnr", "same_dims"])
 
     return j.mapInPandas(gen, schema)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_idx int, n_frames int, fps int, "
+    "frame binary, w int, h int, frame_phash bigint"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_samples: int = 4,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    with_phash: bool = True,
+) -> DataFrame:
+    """Uniform-stride frame sampling over an opaque video binary column
+    → one row per sampled frame (re-encoded standalone TIMG + pHash),
+    the decode→frame-sample→feature stage of a video dedup pipeline.
+
+    Deterministic: sampled indices are round(j * (n-1) / (k-1)) for
+    j in 0..k-1 (first and last frame always included; k=1 → middle
+    frame), so the same video always yields the same frames.
+
+    Scale shape: the container's length index makes each sampled frame
+    a seek + O(frame) decode — a 10k-frame video sampled at k=4 pays 4
+    frame decodes, not 10k (video_meta is a header-only parse). Rows
+    stay inside one Arrow batch pass (mapInPandas); output carries the
+    re-encoded frame so downstream image ops (decode_features, the
+    pHash dedup channel) run unchanged on frames. Sampled-frame pHash
+    feeds the same banded Hamming candidate lane as still images —
+    near-dup VIDEOS become near-dup frame sets.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, nfs, fpss, frames, ws, hs, phs = (
+                [], [], [], [], [], [], [], []
+            )
+            for vid, buf in zip(pdf[id_col], pdf[bytes_col]):
+                buf = bytes(buf)
+                try:
+                    meta = codec.video_meta(buf)
+                except NotImplementedError:
+                    continue  # foreign container: surfaced via row absence
+                n = meta["n_frames"]
+                if n == 0:
+                    continue
+                k = min(n_samples, n)
+                if k == 1:
+                    picks = np.array([n // 2])
+                else:
+                    picks = np.unique(
+                        np.round(np.arange(k) * (n - 1) / (k - 1)).astype(int)
+                    )
+                for i in picks:
+                    img, fmeta = codec.decode_video_frame(buf, int(i), meta)
+                    vids.append(vid)
+                    idxs.append(int(i))
+                    nfs.append(n)
+                    fpss.append(meta["fps"])
+                    frames.append(codec.encode(img, "png"))
+                    ws.append(fmeta["w"])
+                    hs.append(fmeta["h"])
+                    phs.append(int(codec.phash64(img)) if with_phash else 0)
+            yield pd.DataFrame(
+                {
+                    "video_id": vids, "frame_idx": idxs, "n_frames": nfs,
+                    "fps": fpss, "frame": frames, "w": ws, "h": hs,
+                    "frame_phash": phs,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(gen, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, sample_rate int, n_samples bigint, duration_sec double, "
+    "rms double, peak int, zero_crossings bigint, decode_ok boolean"
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "audio_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Per-clip PCM features (duration, RMS, peak, zero-crossing count)
+    over an opaque audio binary column — the audio leg of the
+    multimodal table. All sample math is vectorized NumPy per clip;
+    foreign formats surface as decode_ok=false rows (the image lane's
+    convention, decode_features)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            rate = np.zeros(n, np.int32)
+            cnt = np.zeros(n, np.int64)
+            dur = np.zeros(n)
+            rms = np.zeros(n)
+            peak = np.zeros(n, np.int32)
+            zc = np.zeros(n, np.int64)
+            ok = np.zeros(n, bool)
+            for i, buf in enumerate(pdf[bytes_col]):
+                try:
+                    s, meta = codec.decode_audio(bytes(buf))
+                except NotImplementedError:
+                    continue
+                rate[i], cnt[i] = meta["sample_rate"], meta["n_samples"]
+                dur[i] = cnt[i] / max(rate[i], 1)
+                x = s.astype(np.float64)
+                rms[i] = float(np.sqrt(np.mean(x * x))) if s.size else 0.0
+                peak[i] = int(np.abs(s).max()) if s.size else 0
+                zc[i] = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                ok[i] = True
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf[id_col], "sample_rate": rate,
+                    "n_samples": cnt, "duration_sec": dur, "rms": rms,
+                    "peak": peak, "zero_crossings": zc, "decode_ok": ok,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
