@@ -64,6 +64,18 @@ def _q_token_count(spark, sf_dir):
     )
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    """Sub-word token budget per document under the BPE-ish
+    pre-tokenizer rule (functions/text.py:BPE_TOKEN_RE) — letter runs,
+    digit runs, single symbols; ASCII classes so Java regex and RE2
+    count identically."""
+    from datasketches_java_spark.functions.text import bpe_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     from datasketches_java_spark.functions.text import quality_columns
 
@@ -815,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -1144,6 +1157,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
                      AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                     AS n_bpe_tokens
             FROM documents
         """,
         "text_quality": f"""

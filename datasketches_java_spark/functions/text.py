@@ -28,6 +28,24 @@ def token_count(text: Column) -> Column:
     ).cast("bigint")
 
 
+# BPE-ish pre-tokenizer rule (GPT-2 family, ASCII-restricted so Spark's
+# Java regex and DuckDB's RE2 match byte-for-byte — no lookahead, no
+# unicode property classes): a token is a letter run, a digit run, or
+# ONE non-alnum-non-space char. Whitespace separates, never counts.
+# Engine-parity caveat: the negated class counts one UTF-16 code unit
+# in Java vs one code point in RE2, so non-BMP chars (emoji) count 2 vs
+# 1; BMP text — all of the gate corpus — is identical in both engines.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count under the BPE pre-tokenizer rule —
+    the budget estimator an LLM-training pipeline runs per document
+    (whitespace token_count underestimates code/punctuation-heavy
+    text). Pure JVM expression (regexp_count, codegen)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("bigint")
+
+
 def _bp(num: Column, den: Column) -> Column:
     """Round-half-up basis points in pure integer arithmetic."""
     num = num.cast("bigint")

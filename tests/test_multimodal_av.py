@@ -82,3 +82,18 @@ def test_audio_features(spark):
     q = out["quiet"]
     assert q["decode_ok"] and q["rms"] == 0.0 and q["duration_sec"] == pytest.approx(0.25)
     assert not out["bad"]["decode_ok"]
+
+
+def test_bpe_token_count(spark):
+    """BPE-ish pre-tokenizer counts: letter runs, digit runs, single
+    symbols; whitespace never counts (functions/text.py)."""
+    from datasketches_java_spark.functions.text import bpe_token_count
+    from pyspark.sql import functions as F
+
+    rows = [("a", "hello, world!  it's 42C"), ("b", ""), ("c", "   "),
+            ("d", "a1b2"), ("e", "x--y__z"), ("f", "tab\tsep\nline")]
+    expect = {"a": 9, "b": 0, "c": 0, "d": 4, "e": 7, "f": 3}
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert out == expect
