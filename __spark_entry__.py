@@ -76,6 +76,42 @@ def _q_bpe_token_count(spark, sf_dir):
     )
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality gate (Rae et al. 2021 table A1 rules,
+    thresholds scaled to this corpus) — pure JVM expressions."""
+    from datasketches_java_spark.functions.text import gopher_columns
+
+    cols = gopher_columns(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters: duplicate-word / top-word /
+    top-bigram fractions in basis points."""
+    from datasketches_java_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination: distinct word-5-gram overlap of each
+    non-benchmark doc against the deterministic benchmark slice
+    (doc_id % 13 == 0); benchmark gram set broadcast."""
+    from datasketches_java_spark.operators.curation import ngram_contamination
+
+    return ngram_contamination(_docs(spark, sf_dir))
+
+
+def _q_dedup_keep_list(spark, sf_dir):
+    """Row-level exact-dedup keep/drop list: canonical = min doc_id
+    over identical text."""
+    from datasketches_java_spark.operators.curation import dedup_keep_list
+
+    return dedup_keep_list(_docs(spark, sf_dir))
+
+
 def _q_text_quality(spark, sf_dir):
     from datasketches_java_spark.functions.text import quality_columns
 
@@ -828,6 +864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
+        "gopher_quality_flags": _q_gopher_quality,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_contamination": _q_ngram_contamination,
+        "dedup_keep_list": _q_dedup_keep_list,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -1164,6 +1204,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
                      AS n_bpe_tokens
+            FROM documents
+        """,
+        "gopher_quality_flags": """
+            WITH f AS (
+              SELECT doc_id,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nw,
+                CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace,
+                CAST(len(regexp_extract_all(text,
+                     '[^ \t\n]*[A-Za-z][^ \t\n]*')) AS BIGINT) AS alpha,
+                CAST(1 + len(regexp_extract_all(text, '\n')) AS BIGINT) AS nl,
+                CAST(len(regexp_extract_all(chr(10) || text,
+                     '\n[ \t]*[-*]')) AS BIGINT) AS bul,
+                CAST(len(regexp_extract_all(text || chr(10),
+                     '\\.\\.\\.[ \t]*\n')) AS BIGINT) AS ell
+              FROM documents
+            ), bp AS (
+              SELECT doc_id, nw, nl,
+                CAST(CASE WHEN nw <= 0 THEN 0 ELSE (20000*nonspace + nw) // (2*nw) END AS BIGINT) AS mwl,
+                CAST(CASE WHEN nw <= 0 THEN 0 ELSE (20000*alpha + nw) // (2*nw) END AS BIGINT) AS ab,
+                CAST((20000*bul + nl) // (2*nl) AS BIGINT) AS bb,
+                CAST((20000*ell + nl) // (2*nl) AS BIGINT) AS eb
+              FROM f
+            )
+            SELECT doc_id, nw AS n_words, mwl AS mean_word_len_bp,
+                   ab AS alpha_word_bp, nl AS n_lines,
+                   bb AS bullet_line_bp, eb AS ellipsis_line_bp,
+                   (nw BETWEEN 20 AND 80) AND (mwl BETWEEN 30000 AND 100000)
+                     AND ab >= 8000 AND bb <= 9000 AND eb <= 3000
+                     AS gopher_pass
+            FROM bp
+        """,
+        "repetition_stats": """
+            WITH base AS (
+              SELECT doc_id, trim(lower(text)) AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ), w AS (
+              SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS w FROM base
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+            ), pd AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct_words,
+                     CAST(max(c) AS BIGINT) AS topw
+              FROM wc GROUP BY doc_id
+            ), bw AS (
+              SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM base
+            ), bg AS (
+              SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+                     for i in generate_series(1, len(ws)-1)]) AS g
+              FROM bw WHERE len(ws) >= 2
+            ), bgc AS (
+              SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+            ), pdb AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     CAST(max(c) AS BIGINT) AS topb
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT pd.doc_id, pd.n_words, pd.n_distinct_words,
+              CAST((20000*(pd.n_words - pd.n_distinct_words) + pd.n_words)
+                   // (2*pd.n_words) AS BIGINT) AS dup_word_bp,
+              CAST((20000*pd.topw + pd.n_words) // (2*pd.n_words) AS BIGINT)
+                   AS top_word_bp,
+              CAST(CASE WHEN coalesce(pdb.n_bigrams, 0) <= 0 THEN 0
+                   ELSE (20000*pdb.topb + pdb.n_bigrams) // (2*pdb.n_bigrams)
+                   END AS BIGINT) AS top_bigram_bp
+            FROM pd LEFT JOIN pdb USING (doc_id)
+        """,
+        "ngram_contamination": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+4], ' ')
+                     for i in generate_series(1, len(ws)-4)])) AS gram
+              FROM w WHERE len(ws) >= 5
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0
+            ), hits AS (
+              SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM g JOIN bench USING (gram)
+              WHERE g.doc_id % 13 <> 0 GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 13 <> 0
+        """,
+        "dedup_keep_list": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                     AS is_canonical
             FROM documents
         """,
         "text_quality": f"""

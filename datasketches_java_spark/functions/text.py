@@ -92,6 +92,80 @@ def lang_id(text: Column) -> Column:
     ).otherwise(F.lit("und"))
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style quality gates (Rae et al. 2021, "Scaling Language Models",
+# table A1 — public rules, thresholds scaled to this corpus's 10-99-word
+# documents). All anchor-free ASCII regexes (no (?m), no $) so Java regex
+# and DuckDB's RE2 count identically; all ratios integer basis points.
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_WORD_LEN_BP = 30_000   # 3.0 chars
+GOPHER_MAX_MEAN_WORD_LEN_BP = 100_000  # 10.0 chars
+GOPHER_MIN_ALPHA_BP = 8_000            # >= 80% words contain a letter
+GOPHER_MAX_BULLET_BP = 9_000           # <= 90% lines start with a bullet
+GOPHER_MAX_ELLIPSIS_BP = 3_000         # <= 30% lines end with "..."
+
+# token containing at least one letter: greedy X*LX* matches the whole
+# whitespace-delimited token once in both leftmost-first (Java) and
+# leftmost-longest (RE2) semantics
+ALPHA_WORD_RE = r"[^ \t\n]*[A-Za-z][^ \t\n]*"
+
+
+def gopher_columns(text: Column) -> dict[str, Column]:
+    """Gopher quality-filter feature columns + pass flag, as pure JVM
+    expressions. Line metrics avoid multiline anchors by counting
+    against explicit newline sentinels (engine-portable)."""
+    n_words = token_count(text)
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_word_len_bp = _bp(nonspace, n_words)
+    alpha_words = F.regexp_count(text, F.lit(ALPHA_WORD_RE)).cast("bigint")
+    alpha_bp = _bp(alpha_words, n_words)
+    n_lines = (F.lit(1) + F.regexp_count(text, F.lit(r"\n"))).cast("bigint")
+    bullet_lines = F.regexp_count(
+        F.concat(F.lit("\n"), text), F.lit(r"\n[ \t]*[-*]")
+    ).cast("bigint")
+    ellipsis_lines = F.regexp_count(
+        F.concat(text, F.lit("\n")), F.lit(r"\.\.\.[ \t]*\n")
+    ).cast("bigint")
+    bullet_bp = _bp(bullet_lines, n_lines)
+    ellipsis_bp = _bp(ellipsis_lines, n_lines)
+    gopher_pass = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len_bp >= GOPHER_MIN_MEAN_WORD_LEN_BP)
+        & (mean_word_len_bp <= GOPHER_MAX_MEAN_WORD_LEN_BP)
+        & (alpha_bp >= GOPHER_MIN_ALPHA_BP)
+        & (bullet_bp <= GOPHER_MAX_BULLET_BP)
+        & (ellipsis_bp <= GOPHER_MAX_ELLIPSIS_BP)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len_bp": mean_word_len_bp,
+        "alpha_word_bp": alpha_bp,
+        "n_lines": n_lines,
+        "bullet_line_bp": bullet_bp,
+        "ellipsis_line_bp": ellipsis_bp,
+        "gopher_pass": gopher_pass,
+    }
+
+
+def word_ngrams(text: Column, n: int, distinct: bool = True) -> Column:
+    """Lowercase word n-grams as an array of space-joined strings
+    (JVM-side: split + slice under transform — no UDF); distinct by
+    default (set membership), positional when `distinct=False`
+    (repetition counting). Documents shorter than n words yield an
+    empty array."""
+    words = tokens(F.lower(text))
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def char_shingles(text: Column, k: int) -> Column:
     """Distinct char-k shingles as an array (JVM-side, for relational
     dedup; the sketch path uses the NumPy kernel instead)."""
