@@ -112,6 +112,47 @@ def _q_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(_docs(spark, sf_dir))
 
 
+def _pii_enriched(spark, sf_dir):
+    """The synthetic corpus carries no PII, so the gate injects
+    deterministic PII spans into doc_id slices with the SAME string
+    expression the DuckDB oracle runs — the scan/redact logic under
+    test is the generic operator."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("bigint")
+    email_leg = F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad(((did * 7) % 1000).cast("string"), 3, "0"), F.lit("-0199"),
+    )
+    host_leg = F.concat(
+        F.lit(" host 10.0."), (did % 256).cast("string"),
+        F.lit(".1 id 123-45-6789"),
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, email_leg).otherwise(F.lit("")),
+            F.when(did % 11 == 0, host_leg).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _q_pii_scan(spark, sf_dir):
+    """PII detection + redaction (emails, dashed phones, IPv4, SSN-shaped
+    ids) — map-only JVM regex stage; redacted text returned as md5 so the
+    gate hash-compares the full redaction output."""
+    from datasketches_java_spark.functions.pii import pii_columns, redact_pii
+
+    d = _pii_enriched(spark, sf_dir)
+    cols = pii_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in cols.items()],
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     from datasketches_java_spark.functions.text import quality_columns
 
@@ -868,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "dedup_keep_list": _q_dedup_keep_list,
+        "pii_scan": _q_pii_scan,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -1300,6 +1342,50 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = min(doc_id) OVER (PARTITION BY md5(text))
                      AS is_canonical
             FROM documents
+        """,
+        "pii_scan": """
+            WITH enriched AS (
+              SELECT doc_id,
+                text ||
+                CASE WHEN doc_id % 7 = 0 THEN
+                  ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST((doc_id*7) % 1000 AS VARCHAR), 3, '0')
+                  || '-0199'
+                ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0 THEN
+                  ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1 id 123-45-6789'
+                ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+                AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(text,
+                '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(text,
+                '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(text,
+                '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+              CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+                + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                + len(regexp_extract_all(text,
+                  '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+                AS BIGINT) AS n_pii,
+              md5(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                      '<EMAIL>', 'g'),
+                    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                  '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+                '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                '<IP>', 'g')) AS redacted_md5
+            FROM enriched
         """,
         "text_quality": f"""
             WITH f AS (

@@ -423,7 +423,8 @@ def run_aux_queries(sf_dir: str, cores: int) -> dict:
             "bloom_customer_orders", "countmin_tokens",
             "simhash_dup_docs", "substring_dup_pairs",
             "embedding_cosine_dup_pairs", "hll_interop_audit",
-            "partition_boundaries_orders",
+            "partition_boundaries_orders", "repetition_stats",
+            "pii_scan",
         ):
             best = None
             for _ in range(2):  # best-of-2: interference is one-sided

@@ -1,0 +1,54 @@
+"""PII detection + redaction for training-data curation, as pure JVM
+column expressions (regexp_count / regexp_replace — whole-stage
+codegen, no Python in the hot path).
+
+Patterns are deliberately ASCII-conservative so Spark's Java regex and
+DuckDB's RE2 agree byte-for-byte (no \\b word boundaries, no lookarounds,
+no unicode classes): email, dashed US phone, IPv4, SSN-shaped ids.
+Pattern shapes kept mutually non-overlapping (phones use dashes only,
+IPv4 uses dots only) so count columns are engine-order independent.
+
+At 100 TB this is a map-only stage: no shuffle, the scan's ReadSchema
+carries only the text column, and the redaction output streams straight
+to the sink. A production deployment swaps the pattern table for its
+legal team's; the Spark plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ordered dict of pattern name -> (regex, replacement token)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    "phone": (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    "ssn": (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+}
+
+# match order matters for redaction: phone (3-3-4) before ssn (3-2-4)
+# never overlaps; email before ipv4 so host-part dots aren't re-scanned
+_REDACT_ORDER = ("email", "phone", "ssn", "ipv4")
+
+
+def pii_columns(text: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (bigint) plus a total."""
+    out: dict[str, Column] = {}
+    total = F.lit(0).cast("bigint")
+    for name, (pat, _) in PII_PATTERNS.items():
+        c = F.regexp_count(text, F.lit(pat)).cast("bigint")
+        # a dashed phone also matches nothing else; ssn (3-2-4) is
+        # disjoint from phone (3-3-4) by the middle-group width
+        out[f"n_{name}"] = c
+        total = total + c
+    out["n_pii"] = total
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII hit with its typed placeholder token."""
+    for name in _REDACT_ORDER:
+        pat, repl = PII_PATTERNS[name]
+        text = F.regexp_replace(text, pat, repl)
+    return text
