@@ -112,6 +112,43 @@ def _q_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(_docs(spark, sf_dir))
 
 
+def _q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style pretraining): per
+    source, documents laid head-to-tail in doc_id order into a token
+    stream cut every 2048 tokens; a doc's pack = the chunk holding its
+    first token. Sharded window — never a global sort."""
+    from datasketches_java_spark.operators.curation import sequence_pack
+
+    return sequence_pack(
+        _docs(spark, sf_dir), budget=2048, id_col="doc_id",
+        text_col="text", shard_col="source",
+    )
+
+
+def _q_split_leakage(spark, sf_dir):
+    """Train/eval leakage audit: a train doc leaks when a text-identical
+    doc landed in the eval split (deterministic doc_id % 10 == 0).
+    One text-hash groupBy + row-level join back on the same key.
+
+    The synthetic corpus has no duplicate texts, so the gate collapses
+    a deterministic doc slice (doc_id % 3 == 1) onto shared texts with
+    the SAME expression the DuckDB oracle runs — groups leak iff their
+    30-id window contains an eval member (1 in 3 windows), so both
+    leaked=true and leaked=false rows exercise the join."""
+    from datasketches_java_spark.operators.curation import split_leakage_audit
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    enriched = d.select(
+        "doc_id",
+        F.when(
+            did % 3 == 1,
+            F.concat(F.lit("G"), (did / 30).cast("bigint").cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return split_leakage_audit(enriched, eval_col=(did % 10 == 0))
+
+
 def _pii_enriched(spark, sf_dir):
     """The synthetic corpus carries no PII, so the gate injects
     deterministic PII spans into doc_id slices with the SAME string
@@ -909,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "dedup_keep_list": _q_dedup_keep_list,
+        "sequence_pack": _q_sequence_pack,
+        "split_leakage_audit": _q_split_leakage,
         "pii_scan": _q_pii_scan,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
@@ -1342,6 +1381,48 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = min(doc_id) OVER (PARTITION BY md5(text))
                      AS is_canonical
             FROM documents
+        """,
+        "sequence_pack": """
+            WITH base AS (
+              SELECT doc_id AS id, source AS shard,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT id, shard, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens AS strt
+              FROM base
+            )
+            SELECT id, shard, n_tokens,
+                   CAST(strt // 2048 AS BIGINT) AS pack_id,
+                   CAST(strt % 2048 AS BIGINT) AS pack_offset
+            FROM s
+        """,
+        "split_leakage_audit": """
+            WITH enriched AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 1
+                          THEN 'G' || CAST(doc_id // 30 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            ), keyed AS (
+              SELECT doc_id AS id, md5(text) AS h,
+                     (doc_id % 10 = 0) AS ev
+              FROM enriched
+            ), g AS (
+              SELECT h,
+                     SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS n_eval_dups
+              FROM keyed GROUP BY h
+            )
+            SELECT k.id,
+                   g.n_eval_dups > 0 AS leaked,
+                   CAST(g.n_eval_dups AS BIGINT) AS n_eval_dups
+            FROM keyed k JOIN g USING (h)
+            WHERE NOT k.ev
         """,
         "pii_scan": """
             WITH enriched AS (

@@ -135,3 +135,103 @@ def dedup_keep_list(
         canonical.alias("canonical_id"),
         (F.col(id_col) == canonical).alias("is_canonical"),
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+    n_shards: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid head-to-tail
+    into a token stream per shard, and the stream is cut every `budget`
+    tokens; a document's pack is the chunk its FIRST token lands in
+    (the standard GPT-style pretraining packing — documents may straddle
+    chunk boundaries, the loader masks across them).
+
+    Returns (id, shard, n_tokens, pack_id, pack_offset): pack_offset is
+    the document's starting token position within its pack.
+
+    Scale shape: packing is a running sum, inherently sequential — so it
+    must never be a GLOBAL window (one task owning 100 TB). Sharding
+    makes it embarrassingly parallel: each shard packs its own stream
+    independently (pack identity is (shard, pack_id)), which is exactly
+    how a multi-node loader consumes packs anyway. `shard_col` names an
+    existing column (e.g. source); `n_shards` > 0 adds a deterministic
+    id-hash sub-shard so one giant source still spreads over the
+    cluster. The window sort key is the id — deterministic, no
+    tie-break ambiguity for the oracle.
+    """
+    from ..functions.text import token_count
+
+    ic = F.col(id_col)
+    if shard_col is None and n_shards <= 0:
+        raise ValueError("give shard_col and/or n_shards: a global "
+                         "packing window cannot scale")
+    parts = []
+    if shard_col is not None:
+        parts.append(F.col(shard_col))
+    if n_shards > 0:
+        parts.append(F.pmod(F.xxhash64(ic.cast("string")), F.lit(n_shards)))
+    shard = F.concat_ws("/", *[p.cast("string") for p in parts])
+
+    base = docs.select(
+        ic.alias("id"),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
+    return base.select(
+        "id", "shard", "n_tokens", start
+    ).select(
+        "id", "shard", "n_tokens",
+        (F.col("__start") / budget).cast("bigint").alias("pack_id"),
+        (F.col("__start") % budget).cast("bigint").alias("pack_offset"),
+    )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_mod: int = 10,
+    eval_col: F.Column | None = None,
+) -> DataFrame:
+    """Train/eval leakage audit for exact near-dup groups: a TRAIN
+    document leaks if any document with identical text landed in the
+    EVAL split (`eval_col` is the boolean split column; default: the
+    deterministic id-hash split pmod(xxhash64(id), eval_mod)==0).
+
+    Returns every train document (id, leaked, n_eval_dups) — the table
+    a pre-training filter joins against to drop contaminated rows.
+
+    Scale shape: one groupBy on the text hash carrying two partial
+    counts (map-side combined), then a row-level join back on the same
+    key — no second shuffle; the eval side is a boolean aggregate, so
+    nothing resembling a crossJoin appears at any size.
+    """
+    ic = F.col(id_col)
+    is_eval = (
+        eval_col if eval_col is not None
+        else F.pmod(F.xxhash64(ic.cast("string")), F.lit(eval_mod)) == 0
+    )
+    keyed = docs.select(
+        ic.alias("id"),
+        F.md5(F.col(text_col)).alias("__h"),
+        is_eval.alias("__eval"),
+    )
+    per_group = keyed.groupBy("__h").agg(
+        F.sum(F.col("__eval").cast("bigint")).alias("n_eval_dups")
+    )
+    return (
+        keyed.filter(~F.col("__eval"))
+        .join(per_group, "__h")
+        .select(
+            "id",
+            (F.col("n_eval_dups") > 0).alias("leaked"),
+            F.col("n_eval_dups").cast("bigint").alias("n_eval_dups"),
+        )
+    )

@@ -148,8 +148,10 @@ def candidate_pairs(band_rows: DataFrame, cfg: DedupConfig = FROZEN) -> DataFram
 
     pHash blocks are coarse, so their cap is much tighter than the
     caption MinHash bands' (sign of the key selects the cap)."""
+    from ..session import plan_width
+
     spark = band_rows.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    par = plan_width(spark)
     grouped = band_rows.repartition(par, "band_key")
     pairs = grouped.mapInPandas(_pair_gen(cfg), PAIR_SCHEMA)
     return pairs.distinct()

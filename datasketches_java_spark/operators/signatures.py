@@ -132,8 +132,17 @@ def _signature_batches(cfg: DedupConfig):
                 h, rows, n, cfg.kmv_k, return_counts=True
             )
             # wire format: little-endian int32 bytes — Arrow moves one
-            # flat buffer per row instead of a list column
-            sig32 = [s.astype("<i4", copy=False).tobytes() for s in kmv_sigs]
+            # flat buffer per row instead of a list column. One batch
+            # tobytes + per-row buffer slices: a bytes slice is a bare
+            # memcpy, vs per-row numpy astype+tobytes dispatch.
+            lens = np.fromiter((len(s) for s in kmv_sigs), np.int64, count=n)
+            flat = (
+                np.concatenate(kmv_sigs) if lens.sum() else np.empty(0, np.int32)
+            )
+            buf = flat.astype("<i4", copy=False).tobytes()
+            ends = 4 * np.cumsum(lens)
+            starts = ends - 4 * lens
+            sig32 = [buf[a:b] for a, b in zip(starts.tolist(), ends.tolist())]
 
             mat, nonempty = oph_signature_matrix(h, rows, n, cfg.minhash_n, cfg.seed)
             cap_bands = (
@@ -164,10 +173,13 @@ def _signature_batches(cfg: DedupConfig):
             # no shingles keep only their pHash keys (an empty caption
             # must not become an LSH wildcard)
             allb = np.concatenate([cap_bands, ph_bands], axis=1)
-            ph_only = ph_bands
-            bands_col = [
-                allb[i] if nonempty[i] else ph_only[i] for i in range(n)
-            ]
+            if nonempty.all():  # common case: no per-row branch
+                bands_col = list(allb)
+            else:
+                ph_only = ph_bands
+                bands_col = [
+                    allb[i] if nonempty[i] else ph_only[i] for i in range(n)
+                ]
             yield pd.DataFrame(
                 {
                     "id64": pdf["id64"].to_numpy(np.int64),
@@ -311,7 +323,9 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN,
     # byte-heavy corpus can mean 1-2 splits of the *projected* columns —
     # starving the CPU-bound kernel. Re-spread the slim projection (a
     # few MB of captions, never the pixels) across all cores.
-    par = slim.sparkSession.sparkContext.defaultParallelism
+    from ..session import plan_width
+
+    par = plan_width(slim.sparkSession)
     out = slim.repartition(par).mapInPandas(_signature_batches(cfg), SIG_SCHEMA)
     # hash-partition the OUTPUT by id64: the verify stage joins this
     # table twice on id64 — with the cached layout already

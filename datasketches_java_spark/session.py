@@ -40,11 +40,14 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     total_cores = cores * executors if executors else cores
     if shuffle_partitions is None:
-        # one shuffle partition per core: at local scale, extra
-        # partitions only add scheduling + shuffle-file overhead (AQE
-        # splits skewed partitions when it matters); on a real cluster
-        # this is set to 2-3x total cores
-        shuffle_partitions = total_cores
+        # tasks-per-core multiplier (SPARK_GRAFT_PAR_MULT): 1 measured
+        # fastest on this flat-memory host (extra partitions only add
+        # scheduling + shuffle-file overhead; AQE splits skewed
+        # partitions when it matters). On a real cluster 2-3 is the
+        # standard straggler insurance — the knob exists so the same
+        # code serves both and so the trade is measurable, not assumed.
+        mult = max(1, int(os.environ.get("SPARK_GRAFT_PAR_MULT", "1")))
+        shuffle_partitions = total_cores * mult
     if executors:
         master = f"local-cluster[{executors},{cores},{executor_mem_mb}]"
     else:
@@ -93,3 +96,16 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def plan_width(spark: SparkSession) -> int:
+    """Partition width for the pipeline's explicit repartitions.
+
+    Returns spark.sql.shuffle.partitions so hand-placed exchanges
+    (signature spread, band grouping, id64 output partitioning) agree
+    with the width Catalyst gives implicit ones — co-partitioned joins
+    stay exchange-free whatever SPARK_GRAFT_PAR_MULT says."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism

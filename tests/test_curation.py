@@ -117,3 +117,67 @@ def test_dedup_keep_list(spark):
     assert out[5]["canonical_id"] == 1 and not out[5]["is_canonical"]
     assert out[2]["canonical_id"] == 1 and not out[2]["is_canonical"]
     assert out[3]["canonical_id"] == 3 and out[3]["is_canonical"]
+
+
+def test_sequence_pack_chunks(spark):
+    from datasketches_java_spark.operators.curation import sequence_pack
+
+    # shard A token stream: 3 + 4 + 2 + 5 tokens, budget 6:
+    #   doc 1 starts at 0  -> pack 0 off 0
+    #   doc 2 starts at 3  -> pack 0 off 3   (straddles into pack 1)
+    #   doc 3 starts at 7  -> pack 1 off 1
+    #   doc 4 starts at 9  -> pack 1 off 3
+    # shard B restarts its own stream at 0.
+    rows = [
+        (1, "A", "a b c"),
+        (2, "A", "d e f g"),
+        (3, "A", "h i"),
+        (4, "A", "j k l m n"),
+        (5, "B", "x y z w q u v"),   # 7 tokens -> pack 0 off 0
+        (6, "B", "r"),               # starts at 7 -> pack 1 off 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r["id"]: r for r in sequence_pack(
+        df, budget=6, shard_col="source").collect()}
+    assert (out[1]["pack_id"], out[1]["pack_offset"]) == (0, 0)
+    assert (out[2]["pack_id"], out[2]["pack_offset"]) == (0, 3)
+    assert (out[3]["pack_id"], out[3]["pack_offset"]) == (1, 1)
+    assert (out[4]["pack_id"], out[4]["pack_offset"]) == (1, 3)
+    assert (out[5]["pack_id"], out[5]["pack_offset"]) == (0, 0)
+    assert (out[6]["pack_id"], out[6]["pack_offset"]) == (1, 1)
+    assert out[5]["shard"] == "B" and out[2]["n_tokens"] == 4
+
+
+def test_sequence_pack_sub_sharding(spark):
+    from datasketches_java_spark.operators.curation import sequence_pack
+
+    rows = [(i, "s", "one two three") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = sequence_pack(df, budget=9, shard_col="source", n_shards=4)
+    shards = [r["shard"] for r in out.select("shard").distinct().collect()]
+    assert len(shards) > 1 and all(s.startswith("s/") for s in shards)
+    # every shard's stream still packs 3 docs per 9-token budget
+    first = out.filter(F.col("pack_offset") == 0).count()
+    assert first > 0
+
+    with pytest.raises(ValueError):
+        sequence_pack(df, budget=9)  # global window refused
+
+
+def test_split_leakage_audit(spark):
+    from datasketches_java_spark.operators.curation import split_leakage_audit
+
+    rows = [
+        (10, "dup text"),    # eval (10 % 10 == 0)
+        (11, "dup text"),    # train, leaks via doc 10
+        (12, "clean one"),
+        (13, "shared train"),
+        (14, "shared train"),  # dup of 13 but both train -> no leak
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["id"]: r for r in split_leakage_audit(
+        df, eval_col=(F.col("doc_id") % 10 == 0)).collect()}
+    assert set(out) == {11, 12, 13, 14}     # eval doc 10 excluded
+    assert out[11]["leaked"] and out[11]["n_eval_dups"] == 1
+    assert not out[12]["leaked"]
+    assert not out[13]["leaked"] and not out[14]["leaked"]

@@ -83,3 +83,33 @@ def test_ks_pairwise_no_cartesian(spark, queries):
     sketch-side pairwise compare, not a row-level cartesian."""
     p = plan_str(queries["ks_caption_len_sources"](spark, SF), mode="simple")
     assert "CartesianProduct" not in p
+
+
+def test_sequence_pack_single_shard_exchange(spark, queries):
+    """sequence_pack must plan ONE hash exchange on the shard key and a
+    window over it — never a global (single-partition) sort, which is
+    the scale-killer the sharding exists to prevent."""
+    p = plan_str(queries["sequence_pack"](spark, SF))
+    assert "Window" in p, p
+    assert "SinglePartition" not in p, f"global window:\n{p}"
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in rs and "n_chars" not in rs
+
+
+def test_split_leakage_reuses_hash_partitioning(spark, queries):
+    """split_leakage_audit groups and joins on the same md5 key: the
+    aggregate side must arrive at the join without a second exchange
+    (partitioning reuse), and nothing may plan a cartesian."""
+    p = plan_str(queries["split_leakage_audit"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    # one exchange for the groupBy, one for the probe side; a third
+    # exchange would mean the agg output was re-shuffled for the join
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"{n_exchanges} hash exchanges:\n{p}"
+
+
+def test_pii_scan_is_map_only(spark, queries):
+    """pii_scan is a pure map stage: no exchange of any kind may appear
+    (regex count/replace over the scan, straight to output)."""
+    p = plan_str(queries["pii_scan"](spark, SF))
+    assert "Exchange" not in p, f"pii_scan shuffles:\n{p}"
