@@ -1,0 +1,121 @@
+"""Unit tests for bench.py's contention-proof scaling protocol — the
+decision logic itself (window interleaving, re-run triggers, stable-
+clean early exit, contamination notes, best-ever floors), driven by
+scripted fake windows. No Spark, no subprocesses: `_measure_subprocess`
+and `_ambient` are monkeypatched, so these tests pin the protocol the
+round-4 verdict demanded without burning measurement time."""
+
+import importlib.util
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "_floor_path", lambda: str(tmp_path / "floor.json"))
+    monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+    return mod
+
+
+def _script(bench, monkeypatch, walls_by_cores, ambients=None):
+    """Feed scripted walls per cores level; each call pops the next."""
+    queues = {c: list(ws) for c, ws in walls_by_cores.items()}
+    calls = {"amb": 0}
+
+    def fake_measure(cores, rows, reps=1):
+        wall = queues[cores].pop(0)
+        return {
+            "cores": cores, "rows": rows, "wall": wall,
+            "rate": round(rows / wall, 2), "stages": {}, "rep_walls": [wall],
+            "host": [],
+        }
+
+    def fake_ambient():
+        calls["amb"] += 1
+        if ambients is None:
+            return {"runq": "1/300"}
+        return {"runq": f"{ambients.pop(0)}/300"}
+
+    monkeypatch.setattr(bench, "_measure_subprocess", fake_measure)
+    monkeypatch.setattr(bench, "_ambient", fake_ambient)
+    return queues
+
+
+def test_clean_in_band_runs_exactly_six_windows(bench, monkeypatch):
+    q = _script(bench, monkeypatch, {1: [400.0, 402.0, 401.0],
+                                     4: [104.0, 105.0, 103.0]})
+    lo, hi, sc, detail = bench._measure_scaling(1, 4, 600000)
+    assert q[1] == [] and q[4] == []          # all six consumed, no extras
+    assert sc["efficiency"] == round(400.0 / (4 * 103.0), 4)
+    assert sc["contamination"] is None
+    assert len(sc["rep_walls_low"]) == 3 and len(sc["rep_walls_high"]) == 3
+
+
+def test_contaminated_hi_leg_is_rerun_until_it_recovers(bench, monkeypatch):
+    # three contended hi windows whose walls DISAGREE (>5% spread, so
+    # not a stable reading), then a clean extra window recovers
+    q = _script(bench, monkeypatch, {
+        1: [400.0, 401.0, 400.5],
+        4: [160.0, 145.0, 159.0, 101.0],      # 4th = extra window
+    })
+    lo, hi, sc, detail = bench._measure_scaling(1, 4, 600000)
+    assert q[4] == []
+    assert hi["wall"] == 101.0                # best window published
+    assert sc["efficiency"] >= 0.8
+    assert sc["contamination"] is None
+
+
+def test_stable_clean_low_reading_publishes_as_genuine(bench, monkeypatch):
+    # hi leg is genuinely slow (all windows agree, clean ambient):
+    # protocol must stop early and label the reading GENUINE
+    q = _script(bench, monkeypatch, {
+        1: [400.0, 401.0, 400.5],
+        4: [150.0, 150.5, 150.2],
+    })
+    lo, hi, sc, detail = bench._measure_scaling(1, 4, 600000)
+    assert q[4] == []                          # no extra windows burned
+    assert sc["efficiency"] < 0.8
+    assert "GENUINE" in sc["contamination"]
+
+
+def test_contended_ambient_blocks_stable_clean_exit(bench, monkeypatch):
+    # agreeing slow hi walls, but the hi windows' ambient shows
+    # background runnable tasks -> NOT genuine; protocol must burn all
+    # extra windows and flag a contended session, not a genuine reading
+    amb = [9, 1, 9, 1, 9, 1] + [9, 9, 9, 9]   # hi legs contended
+    q = _script(bench, monkeypatch, {
+        1: [400.0, 401.0, 400.5],
+        4: [150.0, 150.5, 150.2, 151.0, 150.7, 150.1, 150.4],
+    }, ambients=amb)
+    lo, hi, sc, detail = bench._measure_scaling(1, 4, 600000)
+    assert q[4] == []                          # all 4 extras consumed
+    assert sc["contamination"] is not None
+    assert "GENUINE" not in sc["contamination"]
+    assert "never stabilized" in sc["contamination"]
+
+
+def test_uniform_slowdown_flagged_by_floor(bench, monkeypatch, tmp_path):
+    (tmp_path / "floor.json").write_text(
+        json.dumps({"c1_r600000": 200.0, "c4_r600000": 50.0})
+    )
+    q = _script(bench, monkeypatch, {1: [400.0, 401.0, 400.5],
+                                     4: [104.0, 105.0, 103.0]})
+    lo, hi, sc, detail = bench._measure_scaling(1, 4, 600000)
+    assert sc["efficiency"] >= 0.8            # ratio looks fine
+    assert "best-ever floors" in sc["contamination"]
+
+
+def test_floor_only_tightens(bench, tmp_path):
+    bench._update_floor(4, 600000, 50.0)
+    bench._update_floor(4, 600000, 60.0)      # slower: ignored
+    assert bench._read_floor(4, 600000) == 50.0
+    bench._update_floor(4, 600000, 48.0)      # faster: tightens
+    assert bench._read_floor(4, 600000) == 48.0
