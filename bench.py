@@ -371,6 +371,18 @@ def _measure_main(cores: int, n_rows: int, reps: int = 2) -> None:
     parts = max(cores, int(os.environ.get("SPARK_GRAFT_MEASURE_PARTS", "16")))
     spark = get_spark(app=f"bench[{cores}]", cores=cores,
                       shuffle_partitions=parts)
+    # Large Arrow batches for the pipeline's Python stages: none of
+    # them ships image bytes into Python (rows are ~150B: ids, packed
+    # sigs, band keys), so 200k-record batches are ~30MB — and the
+    # per-batch pandas-conversion/alloc churn of the 10k default is
+    # what inflates concurrent python task time on this page-fault-
+    # serialized host (measured: pair stage at local[4] 18.1s @ 10k
+    # -> 15.7s @ 200k-1M records/batch, same outputs). A production
+    # multi-executor cluster wants the same setting for narrow rows.
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        os.environ.get("SPARK_GRAFT_ARROW_BATCH", "200000"),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     corpus = tables.load_corpus_dir(spark, cdir)
     n = corpus.count()
