@@ -935,6 +935,35 @@ def _q_embedding_cosine_dup_pairs(spark, sf_dir):
     )
 
 
+def _q_phash_dup_pairs(spark, sf_dir):
+    """Image-channel near-dup pairs: the EXACT pHash Hamming <= 8
+    relation over the image+caption corpus, via multi-index-hashing
+    candidates (Norouzi et al. CVPR 2012; recall GUARANTEED for
+    Hamming <= 11) + bit_count verify — the standalone face of the
+    pipeline's pixel channel (operators/dedup_image.py). Brute-force
+    DuckDB twin must match pair-for-pair."""
+    from datasketches_java_spark.operators.dedup_image import phash_dup_pairs
+    from datasketches_java_spark.sources import tables
+
+    corpus = tables.load_corpus(spark, sf_dir)
+    return phash_dup_pairs(corpus, "image_id", "phash", max_hamming=8)
+
+
+def _q_near_dedup_keep_list(spark, sf_dir):
+    """Near-dup canonical selection over the pipeline's caption-exact
+    clusters: the keep/drop list a curation stage materializes —
+    longest caption wins, ties to the smallest image_id
+    (operators/curation.py:cluster_keep_list). The oracle recomputes
+    the policy over the golden cluster parquet, so the row set only
+    matches if the pipeline's cluster assignment is itself golden."""
+    from datasketches_java_spark.operators.curation import cluster_keep_list
+    from datasketches_java_spark.sources import tables
+
+    clusters = _q_corpus_clusters(spark, sf_dir)
+    corpus = tables.load_corpus(spark, sf_dir)
+    return cluster_keep_list(clusters, corpus, "image_id", "caption")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked (DuckDB twin below)
@@ -982,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_boundaries_orders": _q_partition_boundaries_orders,
         "simhash_dup_docs": _q_simhash_dup_docs,
         "substring_dup_pairs": _q_substring_dup_pairs,
+        "phash_dup_pairs": _q_phash_dup_pairs,
+        "near_dedup_keep_list": _q_near_dedup_keep_list,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "hll_interop_audit": _q_hll_interop_audit,
         "theta_kll_interop_audit": _q_theta_kll_interop_audit,
@@ -1800,5 +1831,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id_a, vec_id_b, cos_q FROM scored
             WHERE cos_q >= 400000000
+        """,
+        "phash_dup_pairs": f"""
+            -- brute-force twin of the MIH-banded Spark plan: every
+            -- image pair within pHash Hamming 8. The Spark side's
+            -- multi-index keys are a lossless candidate generator at
+            -- this budget (block guarantee <= 11), so the two pair
+            -- sets must be identical, not merely similar.
+            WITH c AS (
+              SELECT image_id, phash FROM read_parquet('{corpus_pq}')
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM c a JOIN c b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 8
+        """,
+        "near_dedup_keep_list": f"""
+            -- curation keep/drop policy over the GOLDEN clusters:
+            -- longest caption wins, ties to the smallest image_id
+            SELECT g.image_id, g.cluster_id,
+                   (row_number() OVER (
+                      PARTITION BY g.cluster_id
+                      ORDER BY length(c.caption) DESC, g.image_id
+                    ) = 1) AS is_canonical
+            FROM read_parquet('{golden_clusters}') g
+            JOIN read_parquet('{corpus_pq}') c USING (image_id)
         """,
     }

@@ -446,6 +446,11 @@ def run_aux_queries(sf_dir: str, cores: int) -> dict:
             "embedding_topk_lsh", "kmv_distinct_by_source", "tpch_q1",
             "bloom_customer_orders", "countmin_tokens",
             "simhash_dup_docs", "substring_dup_pairs",
+            # phash_dup_pairs stays out of the timing list: the
+            # guaranteed-recall MIH join is Σg² in the correlated
+            # pHash distribution (~1.3e9 candidates at 200k — the
+            # exact relation is a gate-tier operator; production uses
+            # the capped pipeline channel, see its docstring)
             "embedding_cosine_dup_pairs", "hll_interop_audit",
             "partition_boundaries_orders", "repetition_stats",
             "pii_scan",

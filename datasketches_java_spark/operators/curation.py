@@ -137,6 +137,45 @@ def dedup_keep_list(
     )
 
 
+def cluster_keep_list(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    """Near-dup canonical selection: one representative per duplicate
+    CLUSTER (the connected-components output), by the curation policy
+    LLM pipelines actually ship — keep the longest text, break ties on
+    the smallest id. The near-dup complement of dedup_keep_list (which
+    canonicalizes exact-hash groups): downstream filters keep
+    `is_canonical` rows and the corpus loses one row per duplicate.
+
+    Input `clusters` is (id, cluster_id, ...) — e.g. the pipeline's
+    cluster assignment; `docs` supplies the text column. Returns
+    (id, cluster_id, is_canonical).
+
+    Scale shape: one broadcast-or-shuffle equi-join on id, then one
+    window partitioned by cluster_id. Cluster sizes are bounded by the
+    dedup semantics themselves (a cluster IS a near-dup group), so the
+    window partition skew is capped by the largest dup family — the
+    same bound the audits stage already relies on.
+    """
+    j = clusters.join(
+        docs.select(
+            F.col(id_col), F.length(F.col(text_col)).alias("_len")
+        ),
+        id_col,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col(id_col).asc()
+    )
+    return j.select(
+        id_col,
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
 def sequence_pack(
     docs: DataFrame,
     budget: int = 2048,
