@@ -167,3 +167,22 @@ def test_phash_batch_pixels_bit_identical():
         batch = codec.phash64_batch_pixels(stack)
         single = np.array([codec.phash64(stack[i]) for i in range(9)])
         assert np.array_equal(batch, single), shape
+
+
+def test_parallel_write_corpus_byte_identical_to_serial(tmp_path):
+    """Chunk rendering is keyed-seeded per row, so the parallel writer
+    must produce a byte-identical parquet file and the same light
+    frame as the serial path (the bench pre-generates corpora with
+    worker processes; cache contents must not depend on worker count)."""
+    import hashlib
+
+    from datasketches_java_spark.corpus.generate import plan_corpus, write_corpus
+
+    plan = plan_corpus(1500, 42)
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    la = write_corpus(plan, a, chunk=300, workers=1)
+    lb = write_corpus(plan, b, chunk=300, workers=6)
+    ha = hashlib.md5(open(a, "rb").read()).hexdigest()
+    hb = hashlib.md5(open(b, "rb").read()).hexdigest()
+    assert ha == hb
+    assert la.equals(lb)
