@@ -90,13 +90,14 @@ def test_contended_ambient_blocks_stable_clean_exit(bench, monkeypatch):
     # agreeing slow hi walls, but the hi windows' ambient shows
     # background runnable tasks -> NOT genuine; protocol must burn all
     # extra windows and flag a contended session, not a genuine reading
-    amb = [9, 1, 9, 1, 9, 1] + [9, 9, 9, 9]   # hi legs contended
+    amb = [9, 1, 9, 1, 9, 1] + [9] * 6        # hi legs contended
     q = _script(bench, monkeypatch, {
         1: [400.0, 401.0, 400.5],
-        4: [150.0, 150.5, 150.2, 151.0, 150.7, 150.1, 150.4],
+        4: [150.0, 150.5, 150.2, 151.0, 150.7, 150.1,
+            150.4, 150.9, 150.3],
     }, ambients=amb)
     lo, hi, sc, detail = bench._measure_scaling(1, 4, 600000)
-    assert q[4] == []                          # all 4 extras consumed
+    assert q[4] == []                          # all 6 extras consumed
     assert sc["contamination"] is not None
     assert "GENUINE" not in sc["contamination"]
     assert "never stabilized" in sc["contamination"]
