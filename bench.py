@@ -380,21 +380,28 @@ def _measure_main(cores: int, n_rows: int, reps: int = 2) -> None:
     # signatures 25.2s @ 4 parts vs 21.5s @ 16 parts, same input).
     # Both scaling legs now run the IDENTICAL plan; only task
     # parallelism differs, which is exactly what the N→4N criterion
-    # is supposed to isolate.
-    parts = max(cores, int(os.environ.get("SPARK_GRAFT_MEASURE_PARTS", "16")))
+    # is supposed to isolate. 32 partitions (round-5 A/B at 1M rows):
+    # finer tasks smooth per-wave stragglers at the multi-core leg
+    # (c4 signatures 46.9s @ 16 parts -> 37.6s @ 32) while the c1 leg
+    # is indifferent (296.9s -> 294.1s) — scheduling overhead is noise
+    # next to wave imbalance.
+    parts = max(cores, int(os.environ.get("SPARK_GRAFT_MEASURE_PARTS", "32")))
     spark = get_spark(app=f"bench[{cores}]", cores=cores,
                       shuffle_partitions=parts)
     # Large Arrow batches for the pipeline's Python stages: none of
     # them ships image bytes into Python (rows are ~150B: ids, packed
-    # sigs, band keys), so 200k-record batches are ~30MB — and the
-    # per-batch pandas-conversion/alloc churn of the 10k default is
-    # what inflates concurrent python task time on this page-fault-
-    # serialized host (measured: pair stage at local[4] 18.1s @ 10k
-    # -> 15.7s @ 200k-1M records/batch, same outputs). A production
-    # multi-executor cluster wants the same setting for narrow rows.
+    # sigs, band keys), so 64k-record batches are ~10MB — big enough
+    # to amortize the per-batch pandas-conversion churn that the 10k
+    # default pays (measured: pair stage at local[4] 18.1s @ 10k ->
+    # 15.7s @ 200k), small enough that N concurrent python workers'
+    # batch working sets don't contend for the bus (round-5 A/B at 1M
+    # rows: verify stage at local[4] 31.1s @ 200k-row batches -> 25.5s
+    # @ 64k; the single-core leg reads the same wall under both, so
+    # 200k batches were buying single-thread speed at the cost of
+    # multi-worker scaling — the wrong trade for a cluster).
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch",
-        os.environ.get("SPARK_GRAFT_ARROW_BATCH", "200000"),
+        os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
     )
     spark.sparkContext.setLogLevel("ERROR")
     corpus = tables.load_corpus_dir(spark, cdir)
@@ -545,7 +552,7 @@ def _write_report(result: dict, lo: dict, hi: dict) -> None:
         "faster level is published. Both window lists are in the result",
         "JSON / BENCH/bench_detail.json.)",
         "",
-        "All measurement sessions pin spark.sql.shuffle.partitions=16",
+        "All measurement sessions pin spark.sql.shuffle.partitions=32",
         "(shuffle width sized to the data, identical physical plan at",
         "every parallelism level) — scaling legs differ ONLY in task",
         "parallelism, the thing the N→4N criterion isolates.",
