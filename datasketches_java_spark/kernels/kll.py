@@ -285,6 +285,10 @@ def _from_ref_bytes_typed(buf: bytes, seed: int, dtype: str) -> "KllDoubles":
     # exact min/max are carried by the image, not derivable from the
     # retained items once compaction dropped the extremes
     sk._ref_min, sk._ref_max = float(mn), float(mx)
+    # remember the image's LEVEL_ZERO_SORTED flag: the write side
+    # preserves level-0 order and this flag so a parse->serialize round
+    # trip reproduces the source bytes exactly
+    sk._ref_l0_sorted = bool(flags & 2)
     return sk
 
 
@@ -335,6 +339,46 @@ def to_ref_bytes(sk: "KllDoubles") -> bytes:
     extremes (exact whenever no compaction dropped an extreme — always
     true in the exact regime; a parse via from_ref_bytes carries the
     image's own exact min/max through)."""
+    return _to_ref_bytes_typed(sk, "<f8")
+
+
+def to_ref_bytes_floats(sk: "KllDoubles") -> bytes:
+    """Serialize as a KllFloatsSketch image (same preamble, float32
+    items — kll/KllFloatsSketch.java). Raises if any retained item or
+    extreme does not cast to float32 and back exactly (the writer
+    never silently loses precision; a state parsed by
+    from_ref_bytes_floats always qualifies)."""
+    for a in (np.asarray(lv, np.float64) for lv in sk.levels if len(lv)):
+        if not np.array_equal(a.astype(np.float32).astype(np.float64), a):
+            raise ValueError("item not exactly representable as float32")
+    for v in (getattr(sk, "_ref_min", None), getattr(sk, "_ref_max", None)):
+        if v is not None and float(np.float32(v)) != float(v):
+            raise ValueError("min/max not exactly representable as float32")
+    return _to_ref_bytes_typed(sk, "<f4")
+
+
+def to_ref_bytes_longs(sk: "KllDoubles") -> bytes:
+    """Serialize as a KllLongsSketch image (same preamble, int64 items
+    — kll/KllLongsSketch.java). Raises if any retained item or extreme
+    is non-integral or exceeds 2^53 in magnitude (the float64-exact
+    integer range; a state parsed by from_ref_bytes_longs always
+    qualifies)."""
+    limit = float(1 << 53)
+    vals = [np.asarray(lv, np.float64) for lv in sk.levels if len(lv)]
+    for a in vals:
+        if np.abs(a).max() > limit or not np.array_equal(np.rint(a), a):
+            raise ValueError("item not an int64-exact float64")
+    for v in (getattr(sk, "_ref_min", None), getattr(sk, "_ref_max", None)):
+        if v is not None and (abs(v) > limit or v != int(v)):
+            raise ValueError("min/max not an int64-exact float64")
+    return _to_ref_bytes_typed(sk, "<i8")
+
+
+def _to_ref_bytes_typed(sk: "KllDoubles", dtype: str) -> bytes:
+    """Shared writer for the three numeric KLL image types (the
+    reference dispatches serialization by sketch class exactly as it
+    dispatches heapify — KllDoublesSketch vs KllFloatsSketch vs
+    KllLongsSketch; only the item width differs between layouts)."""
     m = 8  # reference default M (KllSketch.java DEFAULT_M)
     k16 = np.array([sk.k], dtype="<u2").tobytes()
     retained = np.concatenate([lv for lv in sk.levels]) if sk.levels else np.empty(0)
@@ -344,7 +388,7 @@ def to_ref_bytes(sk: "KllDoubles") -> bytes:
     if sk.n == 1:
         return (
             bytes([2, 2, _FAMILY_KLL, 4]) + k16 + bytes([m, 0])  # SINGLE_ITEM
-            + np.array(retained[:1], dtype="<f8").tobytes()
+            + np.array(retained[:1]).astype(dtype).tobytes()
         )
     num_levels = len(sk.levels)
     cap = sum(_ref_level_capacity(sk.k, num_levels, h, m) for h in range(num_levels))
@@ -359,18 +403,22 @@ def to_ref_bytes(sk: "KllDoubles") -> bytes:
             "retained items exceed the reference layout's capacity for "
             f"k={sk.k}, numLevels={num_levels} — compact the sketch first"
         )
-    lvl0 = np.sort(np.asarray(sk.levels[0], dtype=np.float64))
+    l0_sorted = getattr(sk, "_ref_l0_sorted", None)
+    if l0_sorted is None:  # our own build: sort level 0, set the flag
+        lvl0, flags = np.sort(np.asarray(sk.levels[0], dtype=np.float64)), 2
+    else:  # parsed image: keep its order and flag for byte identity
+        lvl0, flags = np.asarray(sk.levels[0], dtype=np.float64), 2 * l0_sorted
     items = np.concatenate([lvl0] + [np.asarray(lv, np.float64) for lv in sk.levels[1:]])
     mn = getattr(sk, "_ref_min", None)
     mx = getattr(sk, "_ref_max", None)
     mn = float(retained.min()) if mn is None else mn
     mx = float(retained.max()) if mx is None else mx
     head = (
-        bytes([5, 1, _FAMILY_KLL, 2]) + k16 + bytes([m, 0])  # LEVEL_ZERO_SORTED
+        bytes([5, 1, _FAMILY_KLL, flags]) + k16 + bytes([m, 0])  # flags: LEVEL_ZERO_SORTED
         + np.array([sk.n], dtype="<i8").tobytes()
         + np.array([sk.k], dtype="<u2").tobytes()             # min_k
         + bytes([num_levels, 0])
         + bounds[:num_levels].astype("<i4").tobytes()
-        + np.array([mn, mx], dtype="<f8").tobytes()
+        + np.array([mn, mx], dtype=np.float64).astype(dtype).tobytes()
     )
-    return head + items.astype("<f8").tobytes()
+    return head + items.astype(dtype).tobytes()

@@ -169,6 +169,9 @@ def test_kll_doubles_both_directions(spark):
         jk.update(float(v))
     mine = K.from_ref_bytes(bytes(jk.toByteArray()))
     assert mine.n == 30_000
+    # round trip reproduces Java's bytes exactly (level-0 order and
+    # the LEVEL_ZERO_SORTED flag are preserved through parse->write)
+    assert K.to_ref_bytes(mine) == bytes(jk.toByteArray())
     for r in (0.0, 0.25, 0.5, 0.75, 1.0):
         assert mine.get_quantile(r) == jk.getQuantile(float(r))
     for q in (0.0, 15_000.0, 29_999.0):
@@ -201,6 +204,46 @@ def test_kll_floats_and_longs_readers(spark):
     assert mine.n == 20_000
     for r in (0.0, 0.5, 1.0):
         assert mine.get_quantile(r) == float(jl.getQuantile(float(r)))
+
+
+def test_kll_floats_and_longs_writers(spark):
+    """Write side of the typed KLL lanes: re-serializing a parsed Java
+    image reproduces Java's bytes exactly, and Java heapifies images of
+    our own builds with identical quantiles. Non-representable states
+    (float64 that isn't float32-exact; non-integral items in the longs
+    lane) raise instead of silently losing precision."""
+    jvm = spark._jvm
+    # round-trip byte identity, floats
+    jf = jvm.org.apache.datasketches.kll.KllFloatsSketch.newHeapInstance(200)
+    for v in range(30_000):
+        jf.update(float(v))
+    jimg = bytes(jf.toByteArray())
+    assert K.to_ref_bytes_floats(K.from_ref_bytes_floats(jimg)) == jimg
+    # round-trip byte identity, longs
+    jl = jvm.org.apache.datasketches.kll.KllLongsSketch.newHeapInstance(200)
+    for v in range(20_000):
+        jl.update(v)
+    jimg = bytes(jl.toByteArray())
+    assert K.to_ref_bytes_longs(K.from_ref_bytes_longs(jimg)) == jimg
+    # Java heapifies our own builds (empty / single / multi-level)
+    for n in (0, 1, 30_000):
+        ours = K.KllDoubles(k=200)
+        ours.update_many(np.arange(float(n)))
+        jk = jvm.org.apache.datasketches.kll.KllFloatsSketch.heapify(
+            _mem(spark, K.to_ref_bytes_floats(ours)))
+        jk2 = jvm.org.apache.datasketches.kll.KllLongsSketch.heapify(
+            _mem(spark, K.to_ref_bytes_longs(ours)))
+        assert jk.getN() == jk2.getN() == n
+        for r in (0.0, 0.5, 1.0) if n else ():
+            assert float(jk.getQuantile(float(r))) == ours.get_quantile(r)
+            assert float(jk2.getQuantile(float(r))) == ours.get_quantile(r)
+    # guard rails
+    bad = K.KllDoubles(k=200)
+    bad.update_many(np.array([0.1]))  # not float32-exact, not integral
+    with pytest.raises(ValueError):
+        K.to_ref_bytes_floats(bad)
+    with pytest.raises(ValueError):
+        K.to_ref_bytes_longs(bad)
 
 
 def test_kll_items_strings_both_directions(spark):
