@@ -24,6 +24,8 @@ evidence short of the reference's own test rig:
               estimates
   sampling  — reservoir / VarOpt / EBPPS images exchanged both ways
   tuple     — ArrayOfDoubles compact images byte-IDENTICAL both ways
+  bounds    — binomial-proportion + B-over-A ratio bounds bit-equal
+              on theta AND tuple sketch pairs (thetacommon)
 
 py4j notes: small Python ints box as java.lang.Integer; generic-item
 sketches (VarOpt/EBPPS with ArrayOfLongsSerDe) need values >= 2^31 so
@@ -557,3 +559,80 @@ def test_tuple_aod_updatable_images_heapify(spark):
     res = u.getResult()
     assert mine.retained == res.getRetainedEntries()
     assert mine.estimate() == res.getEstimate()
+
+
+# ------------------------------------------- ratio bounds (thetacommon)
+
+def test_bounds_on_ratios_bit_equal(spark):
+    """The exact bounds transcriptions (kernels/bounds.py ref_*) are
+    BIT-EQUAL to the Java library: binomial-proportion bounds over an
+    (n,k) grid incl. every special-case branch, and B-over-A ratio
+    bounds on real theta AND tuple sketch pairs (B = A ∩ C), matching
+    thetacommon/BoundsOnRatiosIn{Theta,Tuple}SketchedSets."""
+    from datasketches_java_spark.kernels import bounds as B
+
+    jvm = spark._jvm
+    jb = jvm.org.apache.datasketches.common.BoundsOnBinomialProportions
+    for n, k in [(0, 0), (1, 0), (1, 1), (5, 1), (5, 4), (5, 5),
+                 (100, 37), (10_000, 9_999), (1_000_000, 123_456)]:
+        for sd in (1.0, 2.0, 3.0):
+            assert B.ref_approx_lower_bound_on_p(n, k, sd) == \
+                jb.approximateLowerBoundOnP(n, k, float(sd))
+            assert B.ref_approx_upper_bound_on_p(n, k, sd) == \
+                jb.approximateUpperBoundOnP(n, k, float(sd))
+
+    def mk_theta(vals):
+        sk = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        for v in vals:
+            sk.update(v)
+        return sk
+
+    jt = jvm.org.apache.datasketches.thetacommon.BoundsOnRatiosInThetaSketchedSets
+    for n_a, n_c in [(100, 30), (60_000, 20_000), (60_000, 59_000)]:
+        a = mk_theta(range(n_a))
+        c = mk_theta(range(0, n_c))  # subset predicate
+        inter = jvm.org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
+        inter.intersect(a)
+        inter.intersect(c)
+        bsk = inter.getResult()
+        ha, ta, _ = tc.deserialize_compact(bytes(a.compact().toByteArray()))
+        hb, tb, _ = tc.deserialize_compact(bytes(bsk.toByteArray()))
+        lb, est, ub = B.b_over_a_bounds(ha, ta, hb, tb)
+        assert lb == jt.getLowerBoundForBoverA(a, bsk)
+        assert est == jt.getEstimateOfBoverA(a, bsk)
+        assert ub == jt.getUpperBoundForBoverA(a, bsk)
+
+    # tuple variant: DoubleSummary sketches, same arithmetic over the
+    # tuple sketch's hash set (BoundsOnRatiosInTupleSketchedSets)
+    tup = jvm.org.apache.datasketches.tuple
+    mode = tup.adouble.DoubleSummary.Mode.Sum
+    fac = tup.adouble.DoubleSummaryFactory(mode)
+
+    def mk_tuple(n):
+        bld = tup.UpdatableSketchBuilder(fac)
+        sk = bld.build()
+        for v in range(n):
+            sk.update(v + _LONG_BOX, 1.0)
+        return sk
+
+    jtt = jvm.org.apache.datasketches.thetacommon.BoundsOnRatiosInTupleSketchedSets
+    ta_sk = mk_tuple(50_000)
+    tc_sk = mk_tuple(15_000)
+    tin = tup.Intersection(tup.adouble.DoubleSummarySetOperations(mode, mode))
+    tin.intersect(ta_sk)
+    tin.intersect(tc_sk)
+    tb_sk = tin.getResult()
+
+    def tuple_hashes_theta(sk):
+        it = sk.iterator()
+        hs = []
+        while it.next():
+            hs.append(it.getHash())
+        return np.sort(np.array(hs, dtype=np.int64)), sk.getThetaLong()
+
+    ha, ta = tuple_hashes_theta(ta_sk)
+    hb, tb = tuple_hashes_theta(tb_sk)
+    lb, est, ub = B.b_over_a_bounds(ha, ta, hb, tb)
+    assert lb == jtt.getLowerBoundForBoverA(ta_sk, tb_sk)
+    assert est == jtt.getEstimateOfBoverA(ta_sk, tb_sk)
+    assert ub == jtt.getUpperBoundForBoverA(ta_sk, tb_sk)
