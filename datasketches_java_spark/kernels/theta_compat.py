@@ -232,10 +232,13 @@ def deserialize_compact(
             buf, fam, pre_longs, seed_hash, seed, check_seed)
     if fam != FAMILY_COMPACT:
         raise ValueError(f"not a compact theta image (family {fam})")
+    if flags & FLAG_EMPTY:
+        # the reference's canonical EmptyCompactSketch image carries
+        # seedHash 0 and its heapify skips the seed check (an empty
+        # sketch is seed-independent); match that before checking
+        return np.empty(0, np.int64), LONG_MAX, True
     if check_seed and seed_hash != compute_seed_hash(seed):
         raise ValueError("seed hash mismatch")
-    if flags & FLAG_EMPTY:
-        return np.empty(0, np.int64), LONG_MAX, True
     if pre_longs == 1:  # single item
         (h,) = struct.unpack_from("<q", buf, 8)
         return np.array([h], dtype=np.int64), LONG_MAX, False
@@ -338,3 +341,85 @@ def _deserialize_updatable(
             h = h[:k]
     empty = len(h) == 0 and theta_long == LONG_MAX and n_ret == 0
     return h, int(theta_long), empty
+
+
+# ------------------- JaccardSimilarity (theta/JaccardSimilarity.java)
+
+def jaccard(
+    hashes_a: np.ndarray,
+    theta_a: int,
+    hashes_b: np.ndarray,
+    theta_b: int,
+    empty_a: bool = False,
+    empty_b: bool = False,
+) -> tuple[float, float, float]:
+    """(LowerBound, Estimate, UpperBound) of the Jaccard index J(A,B),
+    the reference's exact arithmetic (theta/JaccardSimilarity.java:
+    57-99) over (ordered hashes, thetaLong) state — bit-equal to Java,
+    validated live in tests/test_live_jvm_interop.py.
+
+    The reference sizes its internal union at newK =
+    ceilingPowerOf2(countA + countB) (clamped to [2^4, 2^26]), which
+    can never trim: the union is simply the distinct hashes of A∪B
+    below min(thetaA, thetaB), so the whole computation is
+    deterministic closed-form set algebra — no quickselect schedule
+    involved. Above 2^26 retained entries the reference itself
+    documents "unpredictable results"; we raise instead."""
+    from .bounds import b_over_a_bounds
+
+    if empty_a and empty_b:
+        return 1.0, 1.0, 1.0
+    if empty_a or empty_b:
+        return 0.0, 0.0, 0.0
+    count_a, count_b = len(hashes_a), len(hashes_b)
+    if count_a + count_b > (1 << 26):
+        raise ValueError(
+            "countA + countB exceeds 2^26; the reference documents "
+            "unpredictable results in this regime")
+    theta_u = min(int(theta_a), int(theta_b))
+    hu = np.union1d(np.asarray(hashes_a), np.asarray(hashes_b))
+    hu = hu[hu < theta_u]
+    count_uab = len(hu)
+    if (count_uab == count_a and count_uab == count_b
+            and theta_u == theta_a and theta_u == theta_b):
+        return 1.0, 1.0, 1.0  # identical data
+    hi = np.intersect1d(hashes_a, hashes_b, assume_unique=True)
+    hi = hi[hi < theta_u]  # intersect with the union: subset guarantee
+    return b_over_a_bounds(hu, theta_u, hi, theta_u)
+
+
+def exactly_equal(
+    hashes_a: np.ndarray,
+    theta_a: int,
+    hashes_b: np.ndarray,
+    theta_b: int,
+    empty_a: bool = False,
+    empty_b: bool = False,
+) -> bool:
+    """JaccardSimilarity.exactlyEqual: identical retained sets at
+    identical thetas (theta/JaccardSimilarity.java:109-140)."""
+    if empty_a and empty_b:
+        return True
+    if empty_a or empty_b:
+        return False
+    theta_u = min(int(theta_a), int(theta_b))
+    hu = np.union1d(np.asarray(hashes_a), np.asarray(hashes_b))
+    hu = hu[hu < theta_u]
+    return (len(hu) == len(hashes_a) == len(hashes_b)
+            and theta_u == theta_a == theta_b)
+
+
+def similarity_test(measured, theta_m, expected, theta_e,
+                    threshold: float, empty_m=False, empty_e=False) -> bool:
+    """J_LB(measured, expected) >= threshold at ~97.7% confidence
+    (theta/JaccardSimilarity.java:150-157)."""
+    return jaccard(measured, theta_m, expected, theta_e,
+                   empty_m, empty_e)[0] >= threshold
+
+
+def dissimilarity_test(measured, theta_m, expected, theta_e,
+                       threshold: float, empty_m=False, empty_e=False) -> bool:
+    """J_UB(measured, expected) <= threshold at ~97.7% confidence
+    (theta/JaccardSimilarity.java:172-179)."""
+    return jaccard(measured, theta_m, expected, theta_e,
+                   empty_m, empty_e)[2] <= threshold

@@ -636,3 +636,47 @@ def test_bounds_on_ratios_bit_equal(spark):
     assert lb == jtt.getLowerBoundForBoverA(ta_sk, tb_sk)
     assert est == jtt.getEstimateOfBoverA(ta_sk, tb_sk)
     assert ub == jtt.getUpperBoundForBoverA(ta_sk, tb_sk)
+
+
+def test_jaccard_similarity_bit_equal(spark):
+    """theta_compat.jaccard reproduces theta/JaccardSimilarity.java
+    bit-for-bit: exact and estimating regimes, corner cases, the
+    identical-data short-circuit, exactlyEqual, and the similarity /
+    dissimilarity threshold tests."""
+    jvm = spark._jvm
+    JS = jvm.org.apache.datasketches.theta.JaccardSimilarity
+
+    def mk(lo, n):
+        sk = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        for v in range(lo, lo + n):
+            sk.update(v)
+        return sk
+
+    def st(sk):
+        return tc.deserialize_compact(bytes(sk.compact().toByteArray()))
+
+    # exact regime, estimating regime, disjoint, identical
+    for lo_b, n in [(300, 1000), (30_000, 100_000), (1_000_000, 2000), (0, 5000)]:
+        a, b = mk(0, n), mk(lo_b, n)
+        ha, ta, ea = st(a)
+        hb, tb, eb = st(b)
+        ref = JS.jaccard(a, b)
+        got = tc.jaccard(ha, ta, hb, tb, ea, eb)
+        assert got == (ref[0], ref[1], ref[2])
+        assert tc.exactly_equal(ha, ta, hb, tb, ea, eb) == JS.exactlyEqual(a, b)
+        for thr in (0.1, 0.5, 0.95):
+            assert tc.similarity_test(ha, ta, hb, tb, thr, ea, eb) == \
+                JS.similarityTest(a, b, float(thr))
+            assert tc.dissimilarity_test(ha, ta, hb, tb, thr, ea, eb) == \
+                JS.dissimilarityTest(a, b, float(thr))
+    # empty corner cases
+    e1, e2 = mk(0, 0), mk(0, 0)
+    h1, t1, m1 = st(e1)
+    h2, t2, m2 = st(e2)
+    ref = JS.jaccard(e1, e2)
+    assert tc.jaccard(h1, t1, h2, t2, m1, m2) == (ref[0], ref[1], ref[2])
+    a = mk(0, 100)
+    ha, ta, ea = st(a)
+    ref = JS.jaccard(a, e1)
+    assert tc.jaccard(ha, ta, h1, t1, ea, m1) == (ref[0], ref[1], ref[2])
+    assert tc.exactly_equal(h1, t1, h2, t2, m1, m2)

@@ -115,8 +115,14 @@ def test_deserialize_rejects_garbage():
     bad = bytes([ok[0], 99]) + ok[2:]  # wrong serial version
     with pytest.raises(ValueError):
         tc.deserialize_compact(bad)
+    # seed check applies to non-empty images only: the reference's
+    # canonical EmptyCompactSketch carries seedHash 0 and its heapify
+    # skips the check, so empties parse under any seed
+    h, th, empty = tc.deserialize_compact(ok, seed=1234)
+    assert empty and len(h) == 0
+    nonempty = tc.serialize_compact(np.array([5, 9], dtype=np.int64))
     with pytest.raises(ValueError):
-        tc.deserialize_compact(ok, seed=1234)  # seed-hash mismatch
+        tc.deserialize_compact(nonempty, seed=1234)  # seed-hash mismatch
 
 
 def test_string_and_long_lanes_disjoint_but_mergeable():
