@@ -227,9 +227,12 @@ def deserialize_compact(
         return _deserialize_v4(buf, pre_longs, seed, check_seed)
     if ser_ver != SER_VER:
         raise ValueError(f"unsupported theta serial version {ser_ver}")
-    if fam in (2, 4):
+    if fam in (1, 2, 4):
         return _deserialize_updatable(
             buf, fam, pre_longs, seed_hash, seed, check_seed)
+    if fam == 5:
+        return _deserialize_intersection(
+            buf, pre_longs, seed_hash, seed, check_seed)
     if fam != FAMILY_COMPACT:
         raise ValueError(f"not a compact theta image (family {fam})")
     if flags & FLAG_EMPTY:
@@ -303,7 +306,10 @@ def _deserialize_updatable(
     buf: bytes, fam: int, pre_longs: int, seed_hash: int,
     seed: int, check_seed: bool,
 ) -> tuple[np.ndarray, int, bool]:
-    """Heapify the UPDATABLE serial-v3 layouts — family 2
+    """Heapify the UPDATABLE serial-v3 layouts — family 1
+    (HeapAlphaSketch.java:134-166, preLongs=3, same layout as family 2;
+    stale entries >= theta that alpha leaves in the table until rebuild
+    are dropped, matching the reference's compact()), family 2
     (UpdatableThetaSketch/QuickSelect, preLongs=3: lgNom@3 lgArr@4,
     retEntries@8, p@12, thetaLong@16, 2^lgArr-long hash table @24 with
     zero = empty slot) and family 4 (ThetaUnion gadget, preLongs=4:
@@ -316,7 +322,7 @@ def _deserialize_updatable(
     reference's compacting heapify does."""
     if check_seed and seed_hash != compute_seed_hash(seed):
         raise ValueError("seed hash mismatch")
-    want_pre = 3 if fam == 2 else 4
+    want_pre = 3 if fam in (1, 2) else 4
     if pre_longs != want_pre:
         raise ValueError(
             f"family-{fam} updatable image needs {want_pre} preamble longs, "
@@ -341,6 +347,56 @@ def _deserialize_updatable(
             h = h[:k]
     empty = len(h) == 0 and theta_long == LONG_MAX and n_ret == 0
     return h, int(theta_long), empty
+
+
+def _deserialize_intersection(
+    buf: bytes, pre_longs: int, seed_hash: int,
+    seed: int, check_seed: bool,
+) -> tuple[np.ndarray, int, bool]:
+    """Heapify a persisted ThetaIntersection gadget (family 5,
+    theta/ThetaIntersectionImpl.java:181-199: preLongs=3, lgArr@4,
+    curCount@8 as a SIGNED int — negative means the virgin gadget's
+    Universal Set —, thetaLong@16, hash table @24 present only when
+    !empty && curCount > 0) into getResult() state: (ordered hashes,
+    thetaLong, empty). A virgin image raises, mirroring getResult's
+    SketchesStateException for the infinite set
+    (ThetaIntersectionImpl.java:314-319). With this, every form the
+    Java library can persist — compact v1-v4, alpha, quickselect,
+    union gadget, intersection gadget — heapifies here."""
+    if check_seed and seed_hash != compute_seed_hash(seed):
+        raise ValueError("seed hash mismatch")
+    if pre_longs != 3:
+        raise ValueError(
+            f"intersection image needs 3 preamble longs, got {pre_longs}")
+    flags = buf[5]
+    lg_arr = buf[4]
+    (cur_count,) = struct.unpack_from("<i", buf, 8)
+    (theta_long,) = struct.unpack_from("<q", buf, 16)
+    if cur_count < 0:
+        raise ValueError(
+            "virgin intersection image represents the Universal Set, "
+            "which is not a legal result (getResult semantics)")
+    empty = bool(flags & FLAG_EMPTY)
+    if empty or cur_count == 0:
+        return np.empty(0, np.int64), int(theta_long), empty
+    table = np.frombuffer(buf, dtype="<i8", count=1 << lg_arr, offset=24)
+    h = np.sort(table[(table != 0) & (table < theta_long)]).astype(np.int64)
+    return h, int(theta_long), False
+
+
+def alpha_estimate(lg_nom_longs: int, cur_count: int, theta_long: int,
+                   p: float = 1.0) -> float:
+    """HeapAlphaSketch.getEstimate (theta/HeapAlphaSketch.java:99-101,
+    148-150,180-184): above split1 = p·(alpha+1)/2·MAX the standard
+    curCount/(theta/MAX) estimator; below it the deep-estimation form
+    k·MAX/theta with alpha = k/(k+1). Bit-equal to Java in
+    tests/test_live_jvm_interop.py."""
+    k = float(1 << lg_nom_longs)
+    alpha = k / (k + 1.0)
+    split1 = int(((p * (alpha + 1.0)) / 2.0) * float(LONG_MAX))
+    if theta_long > split1:
+        return cur_count / (theta_long / float(LONG_MAX))
+    return k * (float(LONG_MAX) / theta_long)
 
 
 # ------------------- JaccardSimilarity (theta/JaccardSimilarity.java)

@@ -121,6 +121,55 @@ def test_theta_updatable_images_heapify(spark):
         assert tc.estimate(len(h), th) == res.getEstimate()
 
 
+def test_theta_alpha_and_intersection_images_heapify(spark):
+    """Family-1 (Alpha) and family-5 (Intersection gadget) images —
+    the final two persistable theta forms — heapify into the state
+    Java's own compact() / getResult() report, and alpha_estimate is
+    bit-equal to HeapAlphaSketch.getEstimate in both regimes (above
+    and below split1)."""
+    jvm = spark._jvm
+    fam_alpha = jvm.org.apache.datasketches.common.Family.ALPHA
+    for n in (0, 1000, 100_000):  # empty, exact, deep estimating
+        jsk = (jvm.org.apache.datasketches.theta.UpdateSketch.builder()
+               .setFamily(fam_alpha).build())
+        for v in range(n):
+            jsk.update(v)
+        h, th, empty = tc.deserialize_compact(bytes(jsk.toByteArray()))
+        comp = jsk.compact()
+        assert len(h) == comp.getRetainedEntries(True)
+        assert np.array_equal(
+            h, np.sort(np.array(list(comp.getCache()), dtype=np.int64)))
+        assert empty == comp.isEmpty()
+        # alpha's own estimator (differs from the compact estimator in
+        # the deep-estimation regime) — bit-equal on the raw image state
+        lg_nom = bytes(jsk.toByteArray())[3]
+        assert tc.alpha_estimate(
+            lg_nom, jsk.getRetainedEntries(False), th
+        ) == jsk.getEstimate()
+    for na, nb in ((0, 50), (200, 300), (20_000, 30_000)):
+        inter = (jvm.org.apache.datasketches.theta.SetOperation.builder()
+                 .buildIntersection())
+        a = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        b = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        for v in range(na):
+            a.update(v)
+        for v in range(nb):
+            b.update(v + na // 2)
+        inter.intersect(a)
+        inter.intersect(b)
+        h, th, empty = tc.deserialize_compact(bytes(inter.toByteArray()))
+        res = inter.getResult()
+        assert len(h) == res.getRetainedEntries(True)
+        assert th == res.getThetaLong()
+        assert empty == res.isEmpty()
+        assert tc.estimate(len(h), th) == res.getEstimate()
+    # virgin gadget image = Universal Set: reader raises like getResult
+    virgin = (jvm.org.apache.datasketches.theta.SetOperation.builder()
+              .buildIntersection())
+    with pytest.raises(ValueError, match="Universal Set"):
+        tc.deserialize_compact(bytes(virgin.toByteArray()))
+
+
 # ----------------------------------------------------------------- CPC
 
 def test_cpc_images_byte_identical_estimates_bit_equal(spark):
