@@ -146,6 +146,101 @@ def to_ref_bytes(sk: KllDoubles) -> bytes:
     return b"".join(parts)
 
 
+def items_from_ref_bytes(buf: bytes, seed: int = 9001):
+    """Classic generic QuantilesItemsSketch image (string items,
+    ArrayOfStringsSerDe) → query-ready KllItems — the same migration
+    lane the doubles variant above provides, per
+    quantiles/QuantilesItemsSketch.java:185-236 heapify and
+    quantiles/ItemsByteArrayImpl.java:50-123 layout: pre0 (preLongs,
+    serVer 3 or the prior serVer 2, family 8, flags, k:uint16) +
+    [N when preLongs=2] + serde([min, max, base buffer (n mod 2k
+    items), one k-item block per set bit of bitPattern = n/(2k),
+    lowest level first]). Only compact images exist for items (the
+    toByteArray is always compact). Classic level j (weight 2^(j+1))
+    maps to KLL level j+1 exactly as in the doubles reader."""
+    from .freq_compat import _deserde_strings
+    from .kll_items import KllItems, _obj
+
+    pre_longs, ser_ver, fam, flags = buf[0], buf[1], buf[2], buf[3]
+    if fam != _FAMILY_QUANTILES:
+        raise ValueError(f"not a classic quantiles image (family {fam})")
+    if ser_ver not in (2, 3):
+        raise ValueError(f"unsupported classic items serial version {ser_ver}")
+    k = int(np.frombuffer(buf[4:6], dtype="<u2")[0])
+    sk = KllItems(k=k, seed=seed)
+    if (flags & _EMPTY_FLAG) or pre_longs == 1:
+        return sk
+    n = int(np.frombuffer(buf[8:16], dtype="<i8")[0])
+    bb = n % (2 * k)
+    bit_pattern = n // (2 * k)
+    n_retained = bb + k * bin(bit_pattern).count("1")
+    items = _deserde_strings(buf, pre_longs << 3, n_retained + 2)
+    mn, mx = items[0], items[1]
+    off = 2
+    levels: list[np.ndarray] = [
+        _obj(sorted(items[off:off + bb]))]
+    off += bb
+    bp = bit_pattern
+    while bp:
+        if bp & 1:
+            levels.append(_obj(items[off:off + k]))
+            off += k
+        else:
+            levels.append(_obj([]))
+        bp >>= 1
+    sk.levels = levels
+    sk.n = n
+    sk._ref_min, sk._ref_max = mn, mx
+    return sk
+
+
+def items_to_ref_bytes(sk) -> bytes:
+    """Serialize a CLASSIC-shaped KllItems state back to the
+    reference's QuantilesItemsSketch compact serVer-3 image (ordered
+    base buffer — ItemsByteArrayImpl.toByteArray(ordered=true)). The
+    classic-shape constraint is identical to the doubles writer: level
+    0 holds exactly n mod 2k items and classic level j exactly k items
+    iff bit j of n/(2k) is set; states parsed by items_from_ref_bytes
+    and exact-regime KLL states qualify, generic KLL-compacted states
+    raise."""
+    from .freq_compat import _serde_strings
+
+    k, n = sk.k, sk.n
+    # flags: EMPTY | COMPACT | ORDERED — items images never set
+    # READ_ONLY, unlike the doubles variant (ItemsByteArrayImpl.java:53-56
+    # vs DoublesByteArrayImpl.java:58-60)
+    if n == 0:
+        return bytes([1, 3, _FAMILY_QUANTILES, 4 | 8 | 16]) \
+            + np.array([k], dtype="<u2").tobytes() + b"\x00\x00"
+    bb = n % (2 * k)
+    bit_pattern = n // (2 * k)
+    want = [bb]
+    bp = bit_pattern
+    while bp:
+        want.append(k if (bp & 1) else 0)
+        bp >>= 1
+    got = [len(lv) for lv in sk.levels]
+    while len(got) < len(want):
+        got.append(0)
+    if got != want:
+        raise ValueError(
+            f"not a classic-shaped state for n={n}, k={k}: level sizes "
+            f"{got} != required {want} — only migrated or exact-regime "
+            "states serialize to the classic format")
+    retained: list = sorted(sk.levels[0])
+    for j in range(1, len(sk.levels)):
+        retained.extend(sk.levels[j])
+    all_items = [it for lv in sk.levels for it in lv]
+    mn = sk._ref_min if sk._ref_min is not None else min(all_items)
+    mx = sk._ref_max if sk._ref_max is not None else max(all_items)
+    return (
+        bytes([2, 3, _FAMILY_QUANTILES, 8 | 16])
+        + np.array([k], dtype="<u2").tobytes() + b"\x00\x00"
+        + np.array([n], dtype="<i8").tobytes()
+        + _serde_strings([mn, mx] + retained)
+    )
+
+
 def quantile_exclusive(sk: KllDoubles, rank: float) -> float:
     """EXCLUSIVE search criterion (QuantileSearchCriteria.EXCLUSIVE):
     min retained item v with cumweight(v) > rank·n — the rule the

@@ -13,8 +13,9 @@ evidence short of the reference's own test rig:
               estimates both directions
   KLL       — doubles + item-typed(strings): images exchanged both
               ways, identical quantiles/ranks
-  classic quantiles — Java DoublesSketch compact images parse with
-              identical answers (migration-reader lane)
+  classic quantiles — Java DoublesSketch AND generic ItemsSketch
+              (strings) compact images byte-identical both ways with
+              identical answers (migration lane)
   t-digest  — identical ranks; quantiles equal within 1e-13 relative
               (the 6.2.0 jar's weightedAverage computes
               (x1*w1+x2*w2)/w; the 9.0.1 reference snapshot this
@@ -352,6 +353,48 @@ def test_classic_quantiles_byte_identical_both_ways(spark):
     big.update_many(np.arange(5000.0))
     with pytest.raises(ValueError):
         CQ.to_ref_bytes(big)
+
+
+def test_classic_items_strings_byte_identical_both_ways(spark):
+    """Generic classic quantiles (the jar's ItemsSketch over strings,
+    ArrayOfStringsSerDe) gets the same migration treatment the doubles
+    variant has: Java's ordered compact images parse into a KllItems
+    state with identical quantiles at every probed rank; re-serializing
+    reproduces Java's bytes exactly (empty / partial base buffer /
+    multi-level); Java heapifies our images; and an exact-regime
+    KllItems state serializes to the classic format directly while a
+    generic KLL-compacted state is rejected."""
+    jvm = spark._jvm
+    Mem = jvm.org.apache.datasketches.memory.Memory
+    cls = jvm.java.lang.Class.forName("java.lang.String")
+    cmp_ = jvm.java.util.Comparator.naturalOrder()
+    serde = jvm.org.apache.datasketches.common.ArrayOfStringsSerDe()
+    IS = jvm.org.apache.datasketches.quantiles.ItemsSketch
+    for n in (0, 7, 300, 10_000):  # empty / partial bb / 1 level / many
+        jq = IS.getInstance(cls, 128, cmp_)
+        for v in range(n):
+            jq.update(f"w{v:05d}")
+        jimg = bytes(jq.toByteArray(True, serde))
+        mine = CQ.items_from_ref_bytes(jimg)
+        assert mine.n == n
+        for r in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0) if n else ():
+            assert mine.get_quantile(r) == jq.getQuantile(float(r)), (n, r)
+        ours = CQ.items_to_ref_bytes(mine)
+        assert ours == jimg
+        jq2 = IS.getInstance(cls, Mem.wrap(ours), cmp_, serde)
+        assert jq2.getN() == n
+        if n:
+            assert jq2.getQuantile(0.5) == jq.getQuantile(0.5)
+    # exact-regime KllItems state (no compaction yet) → classic image
+    sk = KllItems(k=128)
+    sk.update_many([f"w{v:05d}" for v in range(100)])
+    jq3 = IS.getInstance(cls, Mem.wrap(CQ.items_to_ref_bytes(sk)), cmp_, serde)
+    assert jq3.getN() == 100 and jq3.getQuantile(1.0) == "w00099"
+    # generic compacted KLL state must be rejected, not mis-serialized
+    big = KllItems(k=128)
+    big.update_many([f"w{v:05d}" for v in range(5000)])
+    with pytest.raises(ValueError):
+        CQ.items_to_ref_bytes(big)
 
 
 # ------------------------------------------------------------- t-digest
