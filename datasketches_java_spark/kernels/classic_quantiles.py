@@ -50,8 +50,13 @@ def from_ref_bytes(buf: bytes, seed: int = 9001) -> KllDoubles:
     bb = n % (2 * k)
     bit_pattern = n // (2 * k)
 
+    # serVer-3 updatable images (COMPACT flag off —
+    # DoublesByteArrayImpl.java:101-130 with a forced-full-size
+    # accessor) use the same padded body layout serVer 1 does
+    non_compact = ser_ver == 1 or (ser_ver == 3 and not (flags & 8))
+
     levels: list[np.ndarray] = []
-    if ser_ver == 1:
+    if non_compact:
         # non-compact: padded 2k base-buffer region, then k per set bit
         base = np.frombuffer(buf[pre_bytes:pre_bytes + 8 * bb], dtype="<f8")
         levels.append(np.sort(base).astype(np.float64))

@@ -342,6 +342,17 @@ def test_classic_quantiles_byte_identical_both_ways(spark):
         assert jq2.getN() == n
         if n:
             assert jq2.getQuantile(0.5) == jq.getQuantile(0.5)
+    # non-compact (updatable) serVer-3 images — the padded
+    # combined-buffer layout — parse to the same state: rewriting the
+    # parsed state reproduces Java's compact-ordered bytes exactly
+    for n in (7, 100, 10_000):
+        jq = jvm.org.apache.datasketches.quantiles.DoublesSketch.builder().build()
+        for v in range(n):
+            jq.update(float(v))
+        mine = CQ.from_ref_bytes(bytes(jq.toByteArray(False)))
+        assert mine.n == n
+        assert CQ.to_ref_bytes(mine) == bytes(jq.toByteArray(True))
+        assert mine.get_quantile(0.5) == jq.getQuantile(0.5)
     # exact-regime KLL state (no compaction yet) → classic image
     sk = K.KllDoubles(k=128)
     sk.update_many(np.arange(100.0))
