@@ -154,13 +154,94 @@ def from_ref_union_bytes(buf: bytes, check_seed_hash: int | None = None) -> Lega
     return sk
 
 
+# Current-format Flags ordinals (CompactTupleSketch.java:55
+# {IS_RESERVED, IS_READ_ONLY, IS_EMPTY, IS_COMPACT, IS_ORDERED})
+_F3_READ_ONLY, _F3_EMPTY, _F3_COMPACT = 1 << 1, 1 << 2, 1 << 3
+_DEFAULT_SEED_HASH = 37836  # CompactTupleSketch.java:48 (C++ compat)
+_COMPACT_TUPLE_TYPE = 1     # SerializerDeserializer.SketchType ordinal
+
+_SUMMARY_SIZES = {"double": 9, "integer": 5, "integer4": 4}
+
+
+def _pack_summary(value: float, mode: int, summary: str) -> bytes:
+    if summary == "double":
+        return np.float64(value).tobytes() + bytes([mode & 0xFF])
+    if summary == "integer":
+        return np.int32(int(value)).tobytes() + bytes([mode & 0xFF])
+    return np.int32(int(value)).tobytes()  # integer4 (test serde)
+
+
+def to_ref_bytes(sk: LegacyTupleSketch, summary: str = "double") -> bytes:
+    """Serialize the CURRENT (serVer 3) generic CompactTupleSketch
+    image (CompactTupleSketch.toByteArray, tuple/CompactTupleSketch.java:
+    191-246): header byte map
+      byte0 preambleLongs (1 empty/single-item, 2 exact, 3 estimating),
+      byte1 serVer=3, byte2 family 9, byte3 sketchType 1
+      (CompactTupleSketch), byte4 unused, byte5 flags
+      {IS_READ_ONLY|IS_COMPACT|IS_EMPTY}, bytes6-7 seedHash 37836,
+      [count:int4 + 4 unused if preLongs>1], [thetaLong:8 if
+      preLongs>2], then per entry hash:int64 immediately followed by
+      its summary bytes (INTERLEAVED — the legacy forms block them).
+
+    Byte-identical to datasketches-java 6.2.0's own writer (live JVM
+    test) for all three preamble forms."""
+    import struct
+
+    count = sk.retained
+    est = sk.is_estimation_mode()
+    single = count == 1 and not est
+    pre_longs = 1 if (sk.empty or single) else (3 if est else 2)
+    flags = _F3_READ_ONLY | _F3_COMPACT | (_F3_EMPTY if sk.empty else 0)
+    out = [struct.pack(
+        "<BBBBBBH", pre_longs, 3, _FAMILY_TUPLE, _COMPACT_TUPLE_TYPE,
+        0, flags, _DEFAULT_SEED_HASH,
+    )]
+    if not sk.empty and not single:
+        out.append(struct.pack("<i", count) + b"\x00\x00\x00\x00")
+        if est:
+            out.append(struct.pack("<q", sk.theta_long))
+    for i in range(count):
+        out.append(struct.pack("<q", int(sk.hashes[i])))
+        out.append(_pack_summary(float(sk.values[i]), int(sk.modes[i]), summary))
+    return b"".join(out)
+
+
 def from_ref_bytes(buf: bytes, summary: str = "double") -> LegacyTupleSketch:
-    """Parse a legacy (serVer 1/2) CompactTupleSketch image."""
+    """Parse a generic CompactTupleSketch image — legacy serVer 1/2
+    (blocked hashes then summaries) or current serVer 3 (interleaved;
+    CompactTupleSketch.java:126-158)."""
     pre_longs, version, fam, _stype = buf[0], buf[1], buf[2], buf[3]
     if fam != _FAMILY_TUPLE:
         raise ValueError(f"not a tuple image (family {fam})")
+    if version == 3:
+        codec = _SUMMARY_CODECS[summary]
+        flags = buf[5]
+        empty = bool(flags & _F3_EMPTY)
+        theta = _LONG_MAX
+        off = 8
+        count = 0
+        if not empty:
+            if pre_longs == 1:
+                count = 1
+            else:
+                count = int(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])
+                off += 8  # count + 4 unused
+                if pre_longs > 2:
+                    theta = int(np.frombuffer(buf[off:off + 8], dtype="<i8")[0])
+                    off += 8
+        hashes = np.empty(count, np.int64)
+        values = np.empty(count, np.float64)
+        modes = np.empty(count, np.int64)
+        for i in range(count):
+            hashes[i] = int(np.frombuffer(buf[off:off + 8], dtype="<i8")[0])
+            off += 8
+            v, m, sz = codec(buf, off)
+            values[i] = v
+            modes[i] = m
+            off += sz
+        return LegacyTupleSketch(hashes, values, modes, theta, empty)
     if version not in (1, 2):
-        raise ValueError(f"not a legacy tuple serial version ({version})")
+        raise ValueError(f"not a known tuple serial version ({version})")
     codec = _SUMMARY_CODECS[summary]
     off = 4
     flags = buf[off]

@@ -108,3 +108,34 @@ def test_reservoir_roundtrip(num, k_scale):
     back = sc.reservoir_from_ref_bytes(sc.reservoir_to_ref_bytes(sk))
     assert back.k == sk.k and back.n == sk.n
     assert np.array_equal(back.items, sk.items)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=(2**63) - 2),
+        unique=True, max_size=120,
+    ),
+    st.booleans(),
+    st.sampled_from(["double", "integer"]),
+)
+def test_generic_tuple_v3_roundtrip(hashes, estimating, summary):
+    """Generic CompactTupleSketch serVer-3 (CompactTupleSketch.java:
+    191-246): any (hashes, summaries, theta) state round-trips through
+    the current interleaved wire format, all preamble forms."""
+    from datasketches_java_spark.kernels import tuple_compat as tpc
+
+    h = np.sort(np.asarray(hashes, np.int64))
+    theta = (1 << 63) - 1
+    if estimating and len(h) > 1:
+        theta = int(h[-1])
+        h = h[:-1]
+    vals = (np.arange(len(h)) + 1.0) if summary == "double" else np.arange(len(h), dtype=float)
+    sk = tpc.LegacyTupleSketch(
+        h, vals, np.zeros(len(h), np.int64), theta, len(h) == 0 and not estimating)
+    img = tpc.to_ref_bytes(sk, summary)
+    back = tpc.from_ref_bytes(img, summary)
+    assert back.empty == sk.empty and back.theta_long == sk.theta_long
+    assert np.array_equal(back.hashes, sk.hashes)
+    assert np.array_equal(back.values, sk.values)
+    assert tpc.to_ref_bytes(back, summary) == img

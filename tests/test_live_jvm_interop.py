@@ -783,3 +783,62 @@ def test_jaccard_similarity_bit_equal(spark):
     ref = JS.jaccard(a, e1)
     assert tc.jaccard(ha, ta, h1, t1, ea, m1) == (ref[0], ref[1], ref[2])
     assert tc.exactly_equal(h1, t1, h2, t2, m1, m2)
+
+
+# ------------------------------------------- generic tuple (serVer 3)
+
+def test_generic_tuple_double_summary_byte_identical_both_ways(spark):
+    """Generic Sketch<DoubleSummary> CURRENT wire format
+    (tuple/CompactTupleSketch.java:191-246 serVer 3): every preamble
+    form (empty / single-item / exact / estimating) must round-trip
+    byte-identically through both libraries."""
+    jvm = spark._jvm
+    tup = jvm.org.apache.datasketches.tuple
+    Mode = jvm.org.apache.datasketches.tuple.adouble.DoubleSummary.Mode
+    fac = jvm.org.apache.datasketches.tuple.adouble.DoubleSummaryFactory(Mode.Sum)
+    bld = tup.UpdatableSketchBuilder(fac)
+    des = jvm.org.apache.datasketches.tuple.adouble.DoubleSummaryDeserializer()
+
+    # Java-written images (empty / single / exact) -> Python -> bytes
+    for n in (0, 1, 7):
+        jt = bld.build()
+        for i in range(n):
+            jt.update(i, float(i) + 0.5)
+        jimg = bytes(jt.compact().toByteArray())
+        mine = TPC.from_ref_bytes(jimg, "double")
+        assert mine.retained == n
+        assert mine.estimate() == jt.compact().getEstimate()
+        assert TPC.to_ref_bytes(mine, "double") == jimg
+
+    # Python-written ESTIMATING image -> Java heapify -> re-serialize
+    rng = np.random.default_rng(7)
+    h = np.sort(rng.integers(1, 1 << 62, 900).astype(np.int64))
+    theta = int(h[800])
+    sk = TPC.LegacyTupleSketch(
+        h[:800], np.arange(800) * 1.0, np.zeros(800, np.int64), theta, False)
+    img = TPC.to_ref_bytes(sk, "double")
+    jt = tup.Sketches.heapifySketch(_mem(spark, img), des)
+    assert jt.getEstimate() == sk.estimate()
+    assert jt.getRetainedEntries() == 800
+    assert bytes(jt.compact().toByteArray()) == img
+
+
+def test_generic_tuple_integer_summary_live(spark):
+    """Same exchange with the aninteger.IntegerSummary serde
+    (int LE + mode byte, aninteger/IntegerSummary.java:139-149)."""
+    jvm = spark._jvm
+    tup = jvm.org.apache.datasketches.tuple
+    Mode = jvm.org.apache.datasketches.tuple.aninteger.IntegerSummary.Mode
+    fac = jvm.org.apache.datasketches.tuple.aninteger.IntegerSummaryFactory(Mode.Sum)
+    bld = tup.UpdatableSketchBuilder(fac)
+    des = jvm.org.apache.datasketches.tuple.aninteger.IntegerSummaryDeserializer()
+    jt = bld.build()
+    for i in range(9):
+        jt.update(i, 3)
+    jimg = bytes(jt.compact().toByteArray())
+    mine = TPC.from_ref_bytes(jimg, "integer")
+    assert mine.retained == 9 and (mine.values == 3.0).all()
+    img = TPC.to_ref_bytes(mine, "integer")
+    assert img == jimg
+    jt2 = tup.Sketches.heapifySketch(_mem(spark, img), des)
+    assert jt2.getEstimate() == mine.estimate()
