@@ -459,3 +459,56 @@ def aod_from_ref_updatable_bytes(
         hashes=hashes.copy(), values=vals.copy(), theta_long=theta_long,
         empty=empty, seed_hash=seed_hash,
     )
+
+
+def from_ref_updatable_bytes(buf: bytes, summary: str = "double") -> LegacyTupleSketch:
+    """Heapify the UPDATABLE generic tuple working form — the
+    QuickSelectSketch image UpdatableTupleSketch.toByteArray() writes
+    (tuple/QuickSelectSketch.java:400-480 byte map, serVer 2,
+    sketchType 0): byte0 preLongs(1), byte1 serVer, byte2 family 9,
+    byte3 type 0, byte4 flags {IS_IN_SAMPLING_MODE=2, IS_EMPTY=4,
+    HAS_ENTRIES=8, IS_THETA_INCLUDED=16}, byte5 lgNom, byte6 lgCurCap,
+    byte7 lgRF, [samplingP:float4 if sampling], [thetaLong:8 if
+    included], [count:int4 if entries], then the LIVE entries only,
+    interleaved hash:int64 + summary bytes (unlike the ArrayOfDoubles
+    QS image, which dumps the whole open hash table).
+
+    With the serVer-1/2/3 compact readers, aod_from_ref_bytes and
+    aod_from_ref_updatable_bytes, every persistable tuple form the
+    reference can emit now heapifies."""
+    if len(buf) < 8:
+        raise ValueError("tuple QS image too short")
+    _pre, version, fam, stype = buf[0], buf[1], buf[2], buf[3]
+    if fam != _FAMILY_TUPLE:
+        raise ValueError(f"not a tuple image (family {fam})")
+    if stype != 0:  # SketchType.QuickSelectSketch ordinal
+        raise ValueError(f"not a tuple QuickSelectSketch image (type {stype})")
+    if version > 2:
+        raise ValueError(f"unsupported tuple QS serial version {version}")
+    codec = _SUMMARY_CODECS[summary]
+    flags = buf[4]
+    empty = bool(flags & 4)
+    off = 8
+    if flags & 2:  # IS_IN_SAMPLING_MODE
+        off += 4   # samplingProbability float (folds into theta below)
+    theta = _LONG_MAX
+    if flags & 16:  # IS_THETA_INCLUDED
+        theta = int(np.frombuffer(buf[off:off + 8], dtype="<i8")[0])
+        off += 8
+    count = 0
+    if flags & 8:  # HAS_ENTRIES
+        count = int(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])
+        off += 4
+    hashes = np.empty(count, np.int64)
+    values = np.empty(count, np.float64)
+    modes = np.empty(count, np.int64)
+    for i in range(count):
+        hashes[i] = int(np.frombuffer(buf[off:off + 8], dtype="<i8")[0])
+        off += 8
+        v, m, sz = codec(buf, off)
+        values[i] = v
+        modes[i] = m
+        off += sz
+    order = np.argsort(hashes, kind="stable")
+    return LegacyTupleSketch(
+        hashes[order], values[order], modes[order], theta, empty)

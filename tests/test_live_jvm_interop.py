@@ -842,3 +842,27 @@ def test_generic_tuple_integer_summary_live(spark):
     assert img == jimg
     jt2 = tup.Sketches.heapifySketch(_mem(spark, img), des)
     assert jt2.getEstimate() == mine.estimate()
+
+
+def test_generic_tuple_updatable_images_heapify(spark):
+    """The UPDATABLE generic tuple working form — the sketchType-0
+    QuickSelectSketch image UpdatableTupleSketch.toByteArray() writes
+    (tuple/QuickSelectSketch.java:400-480) — must heapify into the
+    same state the compact image yields, for empty / single / exact /
+    rebuilt-estimating streams."""
+    jvm = spark._jvm
+    tup = jvm.org.apache.datasketches.tuple
+    Mode = jvm.org.apache.datasketches.tuple.adouble.DoubleSummary.Mode
+    fac = jvm.org.apache.datasketches.tuple.adouble.DoubleSummaryFactory(Mode.Sum)
+    for n in (0, 1, 9, 5000):
+        sk = tup.UpdatableSketchBuilder(fac).build()
+        for i in range(n):
+            sk.update(i, float(i) + 0.25)
+        mine = TPC.from_ref_updatable_bytes(bytes(sk.toByteArray()), "double")
+        comp = sk.compact()
+        assert mine.estimate() == comp.getEstimate()
+        assert mine.retained == comp.getRetainedEntries()
+        assert mine.theta_long == comp.getThetaLong()
+        ref = TPC.from_ref_bytes(bytes(comp.toByteArray()), "double")
+        assert np.array_equal(np.sort(ref.hashes), mine.hashes)
+        assert np.allclose(np.sort(ref.values), np.sort(mine.values))
