@@ -633,6 +633,24 @@ def _q_fdt_lang_source(spark, sf_dir):
     )
 
 
+def _q_fdt_groups_lang_source(spark, sf_dir):
+    """The REAL FDT sketch (fdt/FdtSketch.java getResult +
+    PostProcessor.java:92-160, ported in kernels/fdt.py): theta sample
+    of distinct (lang, source, text) tuples, grouped by the
+    (lang, source) primary key with BinomialBoundsN bounds — the
+    distributed two-level face in functions/fdt_agg.py. Exact regime
+    at this tier (distinct tuples << 2^12): grp_count is the exact
+    distinct-text count per primary key, est == lb == ub == grp_count,
+    rse == 0, fraction = grp_count / total retained — all
+    DuckDB-expressible, so the full Group row is oracle-checked.
+    Live cross-library parity (both regimes, incl. estimating-mode
+    bounds) in tests/test_live_jvm_interop.py."""
+    from datasketches_java_spark.functions.fdt_agg import fdt_group_list
+
+    d = _docs(spark, sf_dir)
+    return fdt_group_list(d, ["lang", "source", "text"], [0, 1], lgk=12)
+
+
 def _q_embedding_topk_lsh(spark, sf_dir):
     from datasketches_java_spark.operators.similarity import lsh_topk_cosine
 
@@ -1001,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_customer_orders": _q_bloom_customer_orders,
         "countmin_tokens": _q_countmin_tokens,
         "fdt_lang_source": _q_fdt_lang_source,
+        "fdt_groups_lang_source": _q_fdt_groups_lang_source,
         "embedding_topk_lsh_recall": _q_embedding_topk_lsh_recall,
         "embedding_topk_ivf_recall": _q_embedding_topk_ivf_recall,
         "corpus_dup_pairs": _q_corpus_dup_pairs,
@@ -1118,6 +1137,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang, source
+        """,
+        "fdt_groups_lang_source": """
+            -- FDT getResult in the exact regime: every Group column
+            -- (count, est, ub, lb, fraction, rse) is deterministic
+            WITH d AS (
+              SELECT DISTINCT COALESCE(lang,'') AS lang,
+                     COALESCE(source,'') AS source,
+                     COALESCE(text,'') AS text
+              FROM documents
+            ),
+            g AS (
+              SELECT lang || ',' || source AS pri_key,
+                     COUNT(*) AS grp_count
+              FROM d GROUP BY 1
+            ),
+            t AS (SELECT CAST(SUM(grp_count) AS DOUBLE) AS tot FROM g)
+            SELECT pri_key,
+                   CAST(grp_count AS BIGINT) AS grp_count,
+                   CAST(grp_count AS DOUBLE) AS est,
+                   CAST(grp_count AS DOUBLE) AS lb,
+                   CAST(grp_count AS DOUBLE) AS ub,
+                   grp_count / tot AS fraction,
+                   0.0 AS rse
+            FROM g, t
         """,
         "embedding_topk_lsh_recall": """
             -- the ANN lane's recall contract: n_hit == n_expected,

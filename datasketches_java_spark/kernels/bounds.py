@@ -220,3 +220,134 @@ def b_over_a_bounds(
         return 0.0, 0.5, 1.0
     f = theta_long_b / _LONG_MAX_AS_DOUBLE
     return ref_ratio_bounds_sampled(count_a, count_b, f)
+
+
+# --- BinomialBoundsN exact transcription ---------------------------
+# (thetacommon/BinomialBoundsN.java:36-267, Apache-2.0) — the
+# reference's frequentist binomial tail bounds on a distinct count
+# given `num_samples` retained below sampling probability theta.
+# Bit-equal to datasketches-java (validated live in
+# tests/test_live_jvm_interop.py); used by theta/tuple/FDT bound
+# surfaces where reference parity matters. The analog
+# `binomial_bounds_n` above remains the fast vectorized audit path.
+
+_DELTA_OF_NUM_SDEV = (
+    0.5000000000000000000,
+    0.1586553191586026479,
+    0.0227502618904135701,
+    0.0013498126861731796,
+)
+
+
+def _cont_classic_lb(num_samples_f: float, theta: float, num_sdev: float) -> float:
+    n_hat = (num_samples_f - 0.5) / theta
+    b = num_sdev * math.sqrt((1.0 - theta) / theta)
+    d = 0.5 * b * math.sqrt((b * b) + (4.0 * n_hat))
+    return (n_hat + (0.5 * (b * b))) - d
+
+
+def _cont_classic_ub(num_samples_f: float, theta: float, num_sdev: float) -> float:
+    n_hat = (num_samples_f + 0.5) / theta
+    b = num_sdev * math.sqrt((1.0 - theta) / theta)
+    d = 0.5 * b * math.sqrt((b * b) + (4.0 * n_hat))
+    return (n_hat + (0.5 * (b * b))) + d
+
+
+def _special_n_star(num_samples: int, p: float, delta: float) -> int:
+    # Bayesian-inspired exact LB search (BinomialBoundsN.java:76-99);
+    # callers guarantee num_samples/p < 500 so no log-space needed
+    q = 1.0 - p
+    cur = p ** num_samples
+    tot = cur
+    m = num_samples
+    while tot <= delta:
+        cur = (cur * q * m) / ((m + 1) - num_samples)
+        tot += cur
+        m += 1
+    return m - 1
+
+
+def _special_n_prime_b(num_samples: int, p: float, delta: float) -> int:
+    q = 1.0 - p
+    one_minus_delta = 1.0 - delta
+    cur = p ** num_samples
+    tot = cur
+    m = num_samples
+    while tot < one_minus_delta:
+        cur = (cur * q * m) / ((m + 1) - num_samples)
+        tot += cur
+        m += 1
+    return m
+
+
+def _approx_bino_lb(num_samples: int, theta: float, num_sdev: int) -> float:
+    from ._equiv_tables import LB_EQUIV
+
+    if theta == 1.0:
+        return float(num_samples)
+    if num_samples == 0:
+        return 0.0
+    if num_samples == 1:
+        delta = _DELTA_OF_NUM_SDEV[num_sdev]
+        return math.floor(math.log(1.0 - delta) / math.log(1.0 - theta))
+    if num_samples > 120:
+        return _cont_classic_lb(num_samples, theta, num_sdev) - 0.5
+    if theta > (1.0 - 1e-5):
+        return float(num_samples)
+    if theta < (num_samples / 360.0):
+        idx = (3 * num_samples) + (num_sdev - 1)
+        return _cont_classic_lb(num_samples, theta, LB_EQUIV[idx]) - 0.5
+    delta = _DELTA_OF_NUM_SDEV[num_sdev]
+    return float(_special_n_star(num_samples, theta, delta))
+
+
+def _approx_bino_ub(num_samples: int, theta: float, num_sdev: int) -> float:
+    from ._equiv_tables import UB_EQUIV
+
+    if theta == 1.0:
+        return float(num_samples)
+    if num_samples == 0:
+        delta = _DELTA_OF_NUM_SDEV[num_sdev]
+        return math.ceil(math.log(delta) / math.log(1.0 - theta))
+    if num_samples > 120:
+        return _cont_classic_ub(num_samples, theta, num_sdev) + 0.5
+    if theta > (1.0 - 1e-5):
+        return float(num_samples + 1)
+    if theta < (num_samples / 360.0):
+        idx = (3 * num_samples) + (num_sdev - 1)
+        return _cont_classic_ub(num_samples, theta, UB_EQUIV[idx]) + 0.5
+    delta = _DELTA_OF_NUM_SDEV[num_sdev]
+    return float(_special_n_prime_b(num_samples + 1, theta, delta))
+
+
+def _check_bino_args(num_samples: int, theta: float, num_sdev: int) -> None:
+    if num_sdev not in (1, 2, 3) or num_samples < 0:
+        raise ValueError(
+            f"numSDev must be 1, 2, or 3 and numSamples >= 0: "
+            f"numSDev={num_sdev}, numSamples={num_samples}")
+    if theta <= 0.0 or theta > 1.0:
+        raise ValueError(f"0.0 < theta <= 1.0: {theta}")
+
+
+def ref_binomial_lower_bound(
+    num_samples: int, theta: float, num_sdev: int, no_data_seen: bool = False
+) -> float:
+    """BinomialBoundsN.getLowerBound (java:234-243), bit-equal."""
+    if no_data_seen:
+        return 0.0
+    _check_bino_args(num_samples, theta, num_sdev)
+    lb = _approx_bino_lb(num_samples, theta, num_sdev)
+    est = num_samples / theta
+    return min(est, max(float(num_samples), lb))
+
+
+def ref_binomial_upper_bound(
+    num_samples: int, theta: float, num_sdev: int, no_data_seen: bool = False
+) -> float:
+    """BinomialBoundsN.getUpperBound (java:257-267), bit-equal."""
+    if no_data_seen:
+        return 0.0
+    _check_bino_args(num_samples, theta, num_sdev)
+    ub = _approx_bino_ub(num_samples, theta, num_sdev)
+    est = num_samples / theta
+    return max(est, ub)

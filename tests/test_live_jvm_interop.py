@@ -866,3 +866,87 @@ def test_generic_tuple_updatable_images_heapify(spark):
         ref = TPC.from_ref_bytes(bytes(comp.toByteArray()), "double")
         assert np.array_equal(np.sort(ref.hashes), mine.hashes)
         assert np.allclose(np.sort(ref.values), np.sort(mine.values))
+
+
+# ----------------------------------------------------------- FDT
+
+def _jstr_arr(spark, vals):
+    arr = spark._sc._gateway.new_array(spark._jvm.java.lang.String, len(vals))
+    for i, v in enumerate(vals):
+        arr[i] = v
+    return arr
+
+
+def test_fdt_group_list_parity_both_regimes(spark):
+    """FdtSketch.getResult parity: parse Java's FDT compact image
+    (generic tuple serVer-3 with ArrayOfStringsSummary records) and
+    run OUR PostProcessor port on Java's retained sample — every Group
+    column (count, est, ub, lb, fraction, rse) must be bit-equal, in
+    the exact AND the estimating regime (the latter exercises the
+    BinomialBoundsN transcription end-to-end)."""
+    import numpy as np
+
+    from datasketches_java_spark.kernels import fdt as FDT
+
+    jvm = spark._jvm
+    gw = spark._sc._gateway
+
+    def run_case(n_pri, n_sub, lgk):
+        sk = jvm.org.apache.datasketches.fdt.FdtSketch(lgk)
+        for p in range(n_pri):
+            for s in range(n_sub + p % 3):
+                sk.update(_jstr_arr(spark, [f"ip{p}", f"user{s}", f"d{s % 5}"]))
+        pri_idx = gw.new_array(jvm.int, 2)
+        pri_idx[0], pri_idx[1] = 0, 2
+        jrows = {
+            g.getPrimaryKey(): (g.getCount(), g.getEstimate(), g.getUpperBound(),
+                                g.getLowerBound(), g.getFraction(), g.getRse())
+            for g in sk.getResult(pri_idx, 0, 2, ",")
+        }
+        hashes, tuples, theta, empty = FDT.from_ref_bytes(
+            bytes(sk.compact().toByteArray()))
+        assert not empty and len(hashes) == sk.getRetainedEntries()
+        pri = FDT.extract_pri_keys(np.array(tuples, dtype=object), [0, 2], ",")
+        ours = FDT.post_process(pri, theta, 2)
+        mine = {r.pri_key: (int(r.grp_count), r.est, r.ub, r.lb, r.fraction, r.rse)
+                for r in ours.itertuples()}
+        assert mine == jrows
+        return sk
+
+    assert not run_case(40, 10, 10).isEstimationMode()
+    assert run_case(300, 60, 6).isEstimationMode()
+
+
+def test_fdt_compute_lgk_matches_java(spark):
+    from datasketches_java_spark.kernels import fdt as FDT
+
+    jvm = spark._jvm
+    for thr, rse in [(0.01, 0.05), (0.1, 0.1), (0.5, 0.5), (0.003, 0.2)]:
+        jsk = jvm.org.apache.datasketches.fdt.FdtSketch(float(thr), float(rse))
+        assert (1 << FDT.compute_lgk(thr, rse)) == jsk.getNominalEntries()
+
+
+def test_binomial_bounds_bit_equal_live(spark):
+    """ref_binomial_lower/upper_bound vs the jar's BinomialBoundsN on
+    a sweep crossing every branch (theta=1, n=0/1, equiv-table region,
+    exact nstar region, gaussian region)."""
+    import random
+
+    from datasketches_java_spark.kernels.bounds import (
+        ref_binomial_lower_bound,
+        ref_binomial_upper_bound,
+    )
+
+    B = spark._jvm.org.apache.datasketches.thetacommon.BinomialBoundsN
+    random.seed(3)
+    cases = [(n, th, sd) for n in (0, 1, 2, 7, 50, 119, 120, 121, 1000, 100000)
+             for th in (1.0, 1.0 - 1e-6, 0.9, 0.5, 0.1, 0.01, 1e-4)
+             for sd in (1, 2, 3)]
+    cases += [(random.randrange(0, 2000), random.random(),
+               random.choice((1, 2, 3))) for _ in range(150)]
+    for n, th, sd in cases:
+        assert ref_binomial_lower_bound(n, th, sd) == B.getLowerBound(n, th, sd, False)
+        assert ref_binomial_upper_bound(n, th, sd) == B.getUpperBound(n, th, sd, False)
+    # noDataSeen short-circuit
+    assert ref_binomial_lower_bound(0, 0.5, 2, True) == 0.0
+    assert ref_binomial_upper_bound(0, 0.5, 2, True) == 0.0
