@@ -135,15 +135,19 @@ def estimate(sig: np.ndarray, k: int, hash_space: float = _TWO63) -> float:
 def estimate_bounds(
     sig: np.ndarray, k: int, num_std_dev: int = 2, hash_space: float = _TWO63
 ) -> tuple[float, float, float]:
-    """(lb, est, ub) — normal approximation of the binomial bounds the
-    reference computes in thetacommon/BinomialBoundsN.java:234-257
-    (RSE ≈ 1/sqrt(k-2) in estimation mode)."""
+    """(lb, est, ub) — the reference's binomial bounds
+    (thetacommon/BinomialBoundsN.java:234-257, exact transcription in
+    kernels/bounds.py, bit-equal live vs the Java library) at
+    numSamples = k-1 retained strictly below θ. Exact regime returns
+    (n, n, n), matching BinomialBoundsN at theta = 1."""
+    from .bounds import ref_binomial_lower_bound, ref_binomial_upper_bound
+
     est = estimate(sig, k, hash_space)
     if len(sig) < k:
         return est, est, est
-    rse = 1.0 / np.sqrt(max(k - 2, 1))
-    lb = max(float(len(sig)), est / (1.0 + num_std_dev * rse))
-    ub = est * (1.0 + num_std_dev * rse)
+    theta = float(sig[k - 1]) / hash_space
+    lb = ref_binomial_lower_bound(k - 1, theta, num_std_dev)
+    ub = ref_binomial_upper_bound(k - 1, theta, num_std_dev)
     return lb, est, ub
 
 
