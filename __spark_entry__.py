@@ -549,7 +549,8 @@ def _q_theta_kll_interop_audit(spark, sf_dir):
 def _q_sketch_family_audit(spark, sf_dir):
     """Live cross-library audit for the families Spark has no built-in
     aggregate for (reference cpc/CpcSketch.java + CpcCompression.java,
-    tuple/arrayofdoubles/ArrayOfDoublesCompactSketch.java,
+    tuple/arrayofdoubles/ArrayOfDoublesCompactSketch.java, the generic
+    serVer-3 tuple/CompactTupleSketch.java with DoubleSummary records,
     frequencies/LongsSketch.java): per-group Arrow batches build
     reference-wire-format images with the Python kernels
     (kernels/cpc_compat.py, tuple_compat.py, freq_compat.py); the
@@ -1721,7 +1722,8 @@ def oracle_sql() -> dict[str, str]:
             -- CPC / ArrayOfDoubles / frequent-items image and agree
             -- exactly; the Spark side computes the agreement for real
             SELECT event_type AS "group",
-                   TRUE AS cpc_ok, TRUE AS tuple_ok, TRUE AS freq_ok
+                   TRUE AS cpc_ok, TRUE AS tuple_ok, TRUE AS gtuple_ok,
+                   TRUE AS freq_ok
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "ks_caption_len_sources": """

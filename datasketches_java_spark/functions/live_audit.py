@@ -15,6 +15,10 @@ is the checker — it must heapify every Python-written image and agree:
   tuple — `ArrayOfDoublesSketches.heapifySketch(img)`: estimate
           bit-equal AND re-serialization byte-identical
           (tuple/arrayofdoubles/ArrayOfDoublesCompactSketch.java)
+  gtuple — GENERIC tuple serVer-3 CompactSketch with DoubleSummary
+          records (tuple/CompactTupleSketch.java:191-246):
+          `Sketches.heapifySketch(img, DoubleSummaryDeserializer)`
+          bit-equal estimate AND byte-identical re-serialization
   freq  — `LongsSketch.getInstance(img)`: stream length and the
           estimates of our top items equal exactly
           (frequencies/LongsSketch.java; map order is not canonical,
@@ -50,6 +54,7 @@ from ..kernels.mmh3 import compute_seed_hash, mmh3_128_longs
 _SCHEMA = (
     "group string, cpc_img binary, cpc_est double, "
     "aod_img binary, aod_est double, "
+    "gt_img binary, gt_est double, "
     "freq_img binary, freq_n long, freq_items array<long>, "
     "freq_counts array<long>"
 )
@@ -85,6 +90,12 @@ def _build_group(pdf: pd.DataFrame, lg_k: int, max_map: int) -> pd.DataFrame:
     )
     aod_img = tpc.aod_to_ref_bytes(aod)
 
+    # generic tuple serVer-3 image over the same exact-regime state,
+    # DoubleSummary(Sum) per retained hash
+    gt = tpc.LegacyTupleSketch(
+        hu, vsum, np.zeros(len(hu), np.int64), tc.LONG_MAX, len(hu) == 0)
+    gt_img = tpc.to_ref_bytes(gt, "double")
+
     fi = FrequentItems(max_map)
     for v in np.sort(keys):  # sorted ⇒ purge schedule reproducible
         fi.update(int(v))
@@ -96,6 +107,8 @@ def _build_group(pdf: pd.DataFrame, lg_k: int, max_map: int) -> pd.DataFrame:
             "cpc_est": [cpc.get_estimate()],
             "aod_img": [aod_img],
             "aod_est": [aod.estimate()],
+            "gt_img": [gt_img],
+            "gt_est": [gt.estimate()],
             "freq_img": [fc.to_ref_bytes(fi)],
             "freq_n": [fi.n],
             "freq_items": [[int(i) for i in top]],
@@ -112,7 +125,8 @@ def sketch_family_audit(
     lg_k: int = 11,
     max_map_size: int = 64,
 ) -> DataFrame:
-    """Per-group (group, cpc_ok, tuple_ok, freq_ok) — see module doc."""
+    """Per-group (group, cpc_ok, tuple_ok, gtuple_ok, freq_ok) — see
+    module doc."""
     spark = df.sparkSession
     prepared = df.selectExpr(
         f"{group_col} AS __grp",
@@ -146,6 +160,14 @@ def sketch_family_audit(
             jt.getEstimate() == r["aod_est"]
             and bytes(jt.toByteArray()) == bytes(r["aod_img"])
         )
+        des = jvm.org.apache.datasketches.tuple.adouble.DoubleSummaryDeserializer()
+        jg = jvm.org.apache.datasketches.tuple.Sketches.heapifySketch(
+            mem(r["gt_img"]), des
+        )
+        gtuple_ok = (
+            jg.getEstimate() == r["gt_est"]
+            and bytes(jg.compact().toByteArray()) == bytes(r["gt_img"])
+        )
         jf = jvm.org.apache.datasketches.frequencies.LongsSketch.getInstance(
             mem(r["freq_img"])
         )
@@ -153,9 +175,12 @@ def sketch_family_audit(
             jf.getEstimate(int(i)) == int(c)
             for i, c in zip(r["freq_items"], r["freq_counts"])
         )
-        rows.append((r["group"], bool(cpc_ok), bool(tuple_ok), bool(freq_ok)))
+        rows.append((r["group"], bool(cpc_ok), bool(tuple_ok),
+                     bool(gtuple_ok), bool(freq_ok)))
 
     out = spark.createDataFrame(
-        rows, "group string, cpc_ok boolean, tuple_ok boolean, freq_ok boolean"
+        rows,
+        "group string, cpc_ok boolean, tuple_ok boolean, "
+        "gtuple_ok boolean, freq_ok boolean",
     )
     return out.orderBy("group")
