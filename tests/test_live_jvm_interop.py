@@ -950,3 +950,38 @@ def test_binomial_bounds_bit_equal_live(spark):
     # noDataSeen short-circuit
     assert ref_binomial_lower_bound(0, 0.5, 2, True) == 0.0
     assert ref_binomial_upper_bound(0, 0.5, 2, True) == 0.0
+
+
+def test_tuple_jaccard_matches_theta_port(spark):
+    """tuple/JaccardSimilarity.java is the theta algorithm over the
+    tuple sketch's hash set (summaries don't enter the J value): our
+    theta_compat.jaccard/exactly_equal must reproduce the jar's tuple
+    JaccardSimilarity triple bit-equal on real Sketch<DoubleSummary>
+    pairs, reading each sketch's (hashes, theta) via the serVer-3
+    image parser."""
+    jvm = spark._jvm
+    tup = jvm.org.apache.datasketches.tuple
+    Mode = jvm.org.apache.datasketches.tuple.adouble.DoubleSummary.Mode
+    fac = jvm.org.apache.datasketches.tuple.adouble.DoubleSummaryFactory(Mode.Sum)
+    ops = jvm.org.apache.datasketches.tuple.adouble.DoubleSummarySetOperations(
+        Mode.Sum, Mode.Sum)
+
+    def mk(lo, n):
+        sk = tup.UpdatableSketchBuilder(fac).build()
+        for i in range(lo, lo + n):
+            sk.update(i, 1.0)
+        return sk.compact()
+
+    a, b = mk(0, 30_000), mk(12_000, 30_000)  # estimating, overlapping
+    ref = jvm.org.apache.datasketches.tuple.JaccardSimilarity.jaccard(a, b, ops)
+    pa = TPC.from_ref_bytes(bytes(a.toByteArray()), "double")
+    pb = TPC.from_ref_bytes(bytes(b.toByteArray()), "double")
+    got = tc.jaccard(
+        np.sort(pa.hashes), pa.theta_long, np.sort(pb.hashes), pb.theta_long)
+    assert got == (ref[0], ref[1], ref[2])
+    JT = jvm.org.apache.datasketches.tuple.JaccardSimilarity
+    assert tc.exactly_equal(
+        np.sort(pa.hashes), pa.theta_long, np.sort(pa.hashes), pa.theta_long
+    ) == bool(JT.exactlyEqual(a, a, ops))
+    assert not tc.exactly_equal(
+        np.sort(pa.hashes), pa.theta_long, np.sort(pb.hashes), pb.theta_long)
