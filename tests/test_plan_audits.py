@@ -113,3 +113,22 @@ def test_pii_scan_is_map_only(spark, queries):
     (regex count/replace over the scan, straight to output)."""
     p = plan_str(queries["pii_scan"](spark, SF))
     assert "Exchange" not in p, f"pii_scan shuffles:\n{p}"
+
+
+def test_fdt_face_scan_prunes_and_single_final_exchange(spark, queries):
+    """The FDT face must (a) prune the documents scan to its three
+    dimension columns and (b) plan exactly one shuffle — the bounded
+    partial→final exchange on the constant group (the per-partition
+    bottom-k partial runs map-side inside mapInPandas), so the reduce
+    input stays O(partitions·k) at any table size."""
+    p = plan_str(queries["fdt_groups_lang_source"](spark, SF))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "lang" in rs[0] and "source" in rs[0] and "text" in rs[0]
+    assert "doc_id" not in rs[0] and "n_chars" not in rs[0]
+    # count detail-block headers only ("(N) Exchange"); formatted mode
+    # also names each node in the tree line
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_exchanges == 1, p
+    assert "CartesianProduct" not in p
