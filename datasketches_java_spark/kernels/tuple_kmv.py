@@ -117,6 +117,24 @@ class TupleKmv:
         s = _combine(self.summaries[ia], other.summaries[pos], combiner)
         return TupleKmv(h, s, min(self.k, other.k), theta)
 
+    def filter(self, mask: np.ndarray) -> "TupleKmv":
+        """tuple/Filter.java:51-74 — keep the retained entries whose
+        summary passes the predicate (`mask` = vectorized predicate
+        over the summary rows), theta UNCHANGED; the survivors remain
+        an unbiased theta sample of the passing subpopulation, so
+        distinct_estimate()/summary_totals() estimate that
+        subpopulation directly (the reference's empty rule: a filtered
+        sketch is empty only when nothing survives AND the source was
+        not in estimation mode — an estimating sketch that filters to
+        zero is 'no survivors seen', not 'provably empty')."""
+        mask = np.asarray(mask, dtype=bool)
+        out = TupleKmv(
+            self.hashes[mask], self.summaries[mask], self.k, self.theta,
+            d=self.d)
+        out.filtered_empty = (
+            not mask.any()) and self.theta == _MAX63
+        return out
+
     # --- estimates -------------------------------------------------
 
     def _theta_frac(self) -> float:

@@ -91,3 +91,28 @@ def test_multi_column_summaries():
     sk = TupleKmv.from_stream(_h(keys), s, k=16)
     got = {tuple(row) for row in sk.summaries}
     assert got == {(2.0, 14.0), (1.0, 9.0)}
+
+
+def test_filter_semantics():
+    """tuple/Filter.java:51-74: predicate keeps/drops retained entries,
+    theta unchanged; survivors stay an unbiased sample of the passing
+    subpopulation; empty rule follows the reference (zero survivors is
+    'empty' only for a non-estimating source)."""
+    rng = np.random.default_rng(3)
+    h = np.sort(rng.integers(1, 2**62, 3000).astype(np.int64))
+    vals = (np.arange(3000) % 4).astype(float).reshape(-1, 1)
+    sk = TupleKmv(h[:1024], vals[:1024], k=1024, theta=h[1024])
+
+    f = sk.filter((sk.summaries[:, 0] == 2.0))
+    assert f.theta == sk.theta and f.k == sk.k
+    assert (f.summaries[:, 0] == 2.0).all()
+    assert len(f.hashes) == int((sk.summaries[:, 0] == 2.0).sum())
+    # unbiased subpopulation estimate: count/theta_frac over survivors
+    assert f.distinct_estimate() == len(f.hashes) / (float(f.theta) / float(2**63 - 1))
+    assert not getattr(f, "filtered_empty")  # estimating source
+
+    exact = TupleKmv.from_stream(h[:10], np.ones((10, 1)), k=64)
+    none = exact.filter(np.zeros(10, dtype=bool))
+    assert getattr(none, "filtered_empty") and len(none.hashes) == 0
+    est_none = sk.filter(np.zeros(1024, dtype=bool))
+    assert not getattr(est_none, "filtered_empty")  # estimating: unknown, not empty
