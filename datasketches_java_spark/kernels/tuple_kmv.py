@@ -117,6 +117,17 @@ class TupleKmv:
         s = _combine(self.summaries[ia], other.summaries[pos], combiner)
         return TupleKmv(h, s, min(self.k, other.k), theta)
 
+    def a_not_b(self, other: "TupleKmv") -> "TupleKmv":
+        """Tuple A-not-B (tuple/TupleAnotB.java:126-170 semantics, the
+        same theta rule kernels/kmv.py:a_not_b applies): theta =
+        min(thetaA, thetaB); keep A's entries below theta that are not
+        retained in B, carrying A's summaries unchanged."""
+        theta = min(self.theta, other.theta)
+        keep = (self.hashes < theta) & ~np.isin(self.hashes, other.hashes)
+        return TupleKmv(
+            self.hashes[keep], self.summaries[keep], self.k, theta,
+            d=self.d)
+
     def filter(self, mask: np.ndarray) -> "TupleKmv":
         """tuple/Filter.java:51-74 — keep the retained entries whose
         summary passes the predicate (`mask` = vectorized predicate

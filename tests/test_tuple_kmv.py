@@ -116,3 +116,29 @@ def test_filter_semantics():
     assert getattr(none, "filtered_empty") and len(none.hashes) == 0
     est_none = sk.filter(np.zeros(1024, dtype=bool))
     assert not getattr(est_none, "filtered_empty")  # estimating: unknown, not empty
+
+
+def test_a_not_b_semantics():
+    """TupleAnotB.java theta rule: theta = min; survivors = A entries
+    below theta absent from B, summaries carried from A; A\\A empty;
+    disjoint B leaves A untouched (exact regime)."""
+    a = TupleKmv.from_stream(_h([1, 2, 3, 4]), np.arange(4, dtype=float), k=64)
+    b = TupleKmv.from_stream(_h([3, 4, 5]), np.ones(3), k=64)
+    d = a.a_not_b(b)
+    expect = np.setdiff1d(a.hashes, b.hashes)
+    assert np.array_equal(d.hashes, expect)
+    pos = np.searchsorted(a.hashes, d.hashes)
+    assert np.array_equal(d.summaries, a.summaries[pos])
+    assert len(a.a_not_b(a).hashes) == 0
+    disjoint = TupleKmv.from_stream(_h([99, 100]), np.ones(2), k=64)
+    same = a.a_not_b(disjoint)
+    assert np.array_equal(same.hashes, a.hashes)
+    # estimating theta rule: theta = min of the two
+    rng = np.random.default_rng(7)
+    h = np.sort(rng.integers(1, 2**62, 400).astype(np.int64))
+    ea = TupleKmv(h[:128], np.ones((128, 1)), k=128, theta=h[128])
+    eb = TupleKmv(h[50:178], np.ones((128, 1)), k=128, theta=h[178])
+    r = ea.a_not_b(eb)
+    assert r.theta == min(ea.theta, eb.theta)
+    assert (r.hashes < r.theta).all()
+    assert not np.isin(r.hashes, eb.hashes).any()
