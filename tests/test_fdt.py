@@ -134,3 +134,32 @@ def test_fdt_face_empty_input(spark):
 
     df = spark.createDataFrame([], "a string, b string")
     assert fdt_group_list(df, ["a", "b"], [0], lgk=6).count() == 0
+
+
+def test_post_process_matches_bruteforce_property():
+    """Property: for random retained samples and thetas, post_process
+    equals a brute-force pandas groupby with the reference formulas."""
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    for trial in range(25):
+        n = int(rng.integers(1, 400))
+        pri = np.array([f"k{v}" for v in rng.integers(0, 20, n)], dtype=object)
+        estimating = bool(rng.integers(0, 2))
+        theta_long = int(rng.integers(_LONG_MAX // 100, _LONG_MAX)) if estimating else _LONG_MAX
+        sd = int(rng.integers(1, 4))
+        out = FDT.post_process(pri, theta_long, sd)
+        theta = theta_long / _LONG_MAX
+        truth = pd.Series(pri).value_counts()
+        assert len(out) == len(truth)
+        for r in out.itertuples():
+            c = truth[r.pri_key]
+            assert r.grp_count == c
+            exp_est = (c / theta) if theta_long < _LONG_MAX else float(c)
+            assert r.est == exp_est
+            assert r.lb == ref_binomial_lower_bound(c, theta, sd)
+            assert r.ub == ref_binomial_upper_bound(c, theta, sd)
+            assert r.fraction == c / len(pri)
+        # ordering: counts non-increasing, key asc within equal counts
+        cc = out.grp_count.to_numpy()
+        assert (np.diff(cc) <= 0).all()
