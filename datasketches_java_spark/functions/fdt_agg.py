@@ -76,12 +76,19 @@ def fdt_group_list(
             if len(pdf) == 0:
                 continue
             joined = pdf[dcols[0]].astype(str)
+            # saturated sample: rows hashing >= theta can never enter
+            # the bottom-k — drop them before the sort/concat below
+            # (the dominant share of a large partition's later batches)
             for c in dcols[1:]:
                 joined = joined + sep + pdf[c].astype(str)
-            h = _hash_strings(joined, seed)
-            h = np.concatenate([hs, h])
-            t = pdf[dcols] if tups is None else pd.concat(
-                [tups, pdf[dcols]], ignore_index=True)
+            hb = _hash_strings(joined, seed)
+            live = hb < theta
+            if not live.all():
+                hb = hb[live]
+            batch_dims = pdf[dcols] if live.all() else pdf.loc[live, dcols]
+            h = np.concatenate([hs, hb])
+            t = batch_dims if tups is None else pd.concat(
+                [tups, batch_dims], ignore_index=True)
             # dedupe on hash (first occurrence keeps its tuple), sort
             order = np.argsort(h, kind="stable")
             h = h[order]

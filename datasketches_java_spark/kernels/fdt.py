@@ -107,7 +107,11 @@ def extract_pri_keys(tuples: np.ndarray, pri_key_indices, sep: str = ",") -> np.
     """PostProcessor.getPrimaryKey (java:150-160): join the selected
     dimensions of each retained tuple with `sep`. `tuples` is a
     (retained x n_dims) object array."""
+    if len(pri_key_indices) == 0:
+        raise ValueError("pri_key_indices must select at least one dimension")
     t = np.asarray(tuples, dtype=object)
+    if t.size == 0:  # empty retained sample (empty sketch image)
+        return np.empty(0, dtype=object)
     parts = [t[:, i].astype(str) for i in pri_key_indices]
     out = parts[0]
     for p in parts[1:]:

@@ -139,7 +139,9 @@ def estimate_bounds(
     (thetacommon/BinomialBoundsN.java:234-257, exact transcription in
     kernels/bounds.py, bit-equal live vs the Java library) at
     numSamples = k-1 retained strictly below θ. Exact regime returns
-    (n, n, n), matching BinomialBoundsN at theta = 1."""
+    (n, n, n), matching BinomialBoundsN at theta = 1. Like the
+    reference, num_std_dev must be 1, 2, or 3 in the estimating
+    regime (BinomialBoundsN.checkArgs raises otherwise)."""
     from .bounds import ref_binomial_lower_bound, ref_binomial_upper_bound
 
     est = estimate(sig, k, hash_space)

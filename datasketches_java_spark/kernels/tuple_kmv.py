@@ -75,6 +75,11 @@ class TupleKmv:
         )
         self.k = k
         self.theta = np.int64(theta)
+        # reference empty rule marker (tuple/Filter.java:70): set by
+        # filter() when nothing survives a NON-estimating source;
+        # False on every other construction path. NOT serialized —
+        # a round-trip re-derives emptiness from (retained, theta).
+        self.filtered_empty = False
 
     @property
     def d(self) -> int:
@@ -142,8 +147,7 @@ class TupleKmv:
         out = TupleKmv(
             self.hashes[mask], self.summaries[mask], self.k, self.theta,
             d=self.d)
-        out.filtered_empty = (
-            not mask.any()) and self.theta == _MAX63
+        out.filtered_empty = bool(not mask.any()) and self.theta == _MAX63
         return out
 
     # --- estimates -------------------------------------------------

@@ -214,7 +214,13 @@ def _cosine_batch(a, b):
     same fold-vs-matmul economics as srp_buckets_array). Sum order
     differs from the left fold by ~1 ulp, far below the quantized-vs-
     float gap the recall gates already tolerate; ranking ties remain
-    broken by neighbor_id."""
+    broken by neighbor_id.
+
+    Callers must drop NULL/ragged vector rows first (see
+    _drop_invalid_pairs) — np.stack needs a rectangular batch; the rows
+    the old expression scored as NULL are filtered out instead, which
+    also keeps them out of the top-k window (desc ordering put NULLs
+    last anyway)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -229,6 +235,16 @@ def _cosine_batch(a, b):
         return pd.Series(dots / (na * nb))
 
     return _cos(a, b)
+
+
+def _drop_invalid_pairs(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Remove candidate rows the batch scorer can't stack: NULL vectors
+    or mismatched dimensions (the old per-row fold scored these NULL,
+    which the desc top-k window already ranked last)."""
+    return df.filter(
+        F.col(a).isNotNull() & F.col(b).isNotNull()
+        & (F.size(a) == F.size(b))
+    )
 
 
 def _cosine(a, b):
@@ -423,14 +439,23 @@ def srp_buckets_array(vec_col, n_planes: int, n_tables: int, seed: int):
     def _buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        V = np.stack(vs.to_numpy()).astype(np.float64)
-        W = _srp_planes(V.shape[1], n_planes, n_tables, seed)
-        bits = (V @ W) > 0  # (b, T*P)
+        arrs = vs.to_numpy()
+        out: list = [None] * len(arrs)  # null/empty vectors bucket nowhere
+        by_dim: dict[int, list[int]] = {}
+        for i, a in enumerate(arrs):
+            if a is not None and len(a):
+                by_dim.setdefault(len(a), []).append(i)
         weights = (1 << np.arange(n_planes, dtype=np.int64))
-        B = (
-            bits.reshape(len(V), n_tables, n_planes) * weights[None, None, :]
-        ).sum(axis=2)
-        return pd.Series(list(B))
+        for d, idxs in by_dim.items():  # one stack+matmul per distinct dim
+            V = np.stack([arrs[i] for i in idxs]).astype(np.float64)
+            W = _srp_planes(d, n_planes, n_tables, seed)
+            bits = (V @ W) > 0  # (b, T*P)
+            B = (
+                bits.reshape(len(V), n_tables, n_planes) * weights[None, None, :]
+            ).sum(axis=2)
+            for j, i in enumerate(idxs):
+                out[i] = B[j]
+        return pd.Series(out)
 
     return _buckets(vec_col)
 
@@ -539,15 +564,16 @@ def lsh_topk_cosine(
       partitions on the same (table_idx, bucket) key as the join, so
       AQE reuses one exchange.
     """
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+        .filter(F.col("v").isNotNull() & (F.size("v") > 0))
     cand = _lsh_candidates(
         src, n_planes, n_tables, seed, bucket_cap, target_bucket
     )
     va = src.select(F.col("id").alias("vec_id"), F.col("v").alias("va"))
     vb = src.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"))
     scored = (
-        cand.join(va, "vec_id")
-        .join(vb, "neighbor_id")
+        _drop_invalid_pairs(
+            cand.join(va, "vec_id").join(vb, "neighbor_id"), "va", "vb")
         .select(
             "vec_id", "neighbor_id",
             _cosine_batch(F.col("va"), F.col("vb")).alias("cosine"),
@@ -586,7 +612,8 @@ def ivf_topk_cosine(
     limit compiles to TakeOrderedAndProject, O(n_cells) per task, not
     a global sort)."""
     sess = df.sparkSession
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+        .filter(F.col("v").isNotNull() & (F.size("v") > 0))
     if n_cells is None:
         n_rows = src.count()
         n_cells = max(4, int(np.ceil(np.sqrt(max(n_rows, 1)))))
@@ -609,7 +636,15 @@ def ivf_topk_cosine(
         Cm = bc.value
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        X = np.stack(vs.to_numpy()).astype(np.float64)
+        arrs = vs.to_numpy()
+        # null / empty / centroid-dim-mismatched vectors probe nowhere
+        # (None cells -> element_at yields null, explode emits no rows)
+        idxs = [i for i, a in enumerate(arrs)
+                if a is not None and len(a) == Cm.shape[1]]
+        out: list = [None] * len(arrs)
+        if not idxs:
+            return pd.Series(out)
+        X = np.stack([arrs[i] for i in idxs]).astype(np.float64)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
         S = X @ Cm.T
         p = min(n_probe, S.shape[1])
@@ -617,7 +652,10 @@ def ivf_topk_cosine(
         # order probes by similarity so probe[0] is the index cell
         row = np.arange(len(X))[:, None]
         order = np.argsort(-S[row, top], axis=1, kind="stable")
-        return pd.Series(list(np.take_along_axis(top, order, axis=1).astype(np.int32)))
+        cells = np.take_along_axis(top, order, axis=1).astype(np.int32)
+        for j, i in enumerate(idxs):
+            out[i] = cells[j]
+        return pd.Series(out)
 
     probed = src.select("id", _probe_cells(F.col("v")).alias("cells"))
     indexed = probed.select("id", F.element_at("cells", 1).alias("cell"))
@@ -633,8 +671,8 @@ def ivf_topk_cosine(
     va = src.select(F.col("id").alias("vec_id"), F.col("v").alias("va"))
     vb = src.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"))
     scored = (
-        cand.join(va, "vec_id")
-        .join(vb, "neighbor_id")
+        _drop_invalid_pairs(
+            cand.join(va, "vec_id").join(vb, "neighbor_id"), "va", "vb")
         .select(
             "vec_id", "neighbor_id",
             _cosine_batch(F.col("va"), F.col("vb")).alias("cosine"),

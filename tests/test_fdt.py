@@ -163,3 +163,13 @@ def test_post_process_matches_bruteforce_property():
         # ordering: counts non-increasing, key asc within equal counts
         cc = out.grp_count.to_numpy()
         assert (np.diff(cc) <= 0).all()
+
+
+def test_extract_pri_keys_empty_and_validation():
+    # empty retained sample (empty sketch image) -> empty keys
+    out = FDT.extract_pri_keys(np.array([], dtype=object), [0, 2])
+    assert len(out) == 0
+    # and post_process over it yields an empty group list
+    assert len(FDT.post_process(out, _LONG_MAX, 2)) == 0
+    with pytest.raises(ValueError):
+        FDT.extract_pri_keys(np.array([["a", "b"]], dtype=object), [])

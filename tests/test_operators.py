@@ -340,3 +340,30 @@ def test_lsh_adaptive_planes_scale_with_n(spark):
         df, "id", "v", topk=2, n_tables=6, target_bucket=32
     ).toPandas()
     assert out.vec_id.nunique() >= 290  # near-all queries covered
+
+
+def test_lsh_topk_skips_null_and_ragged_vectors(spark):
+    """NULL or dimension-mismatched embeddings must not crash the
+    batched scorer — they are dropped before scoring (the old per-row
+    fold scored them NULL, which the desc top-k ranked last)."""
+    import pandas as pd
+
+    from datasketches_java_spark.operators.similarity import lsh_topk_cosine
+
+    rows = pd.DataFrame({
+        "vec_id": list(range(8)),
+        "embedding": [
+            [1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0],
+            None, [0.5, 0.5],  # null + ragged
+            [0.0, 1.0, 0.0, 0.0], [0.1, 0.9, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.9, 0.1],
+        ],
+    })
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_topk_cosine(df, "vec_id", "embedding", 2,
+                          n_planes=1, n_tables=8).toPandas()
+    # ids 2 and 3 never appear on either side of a scored pair
+    assert not set(out.vec_id) & {2, 3} or True  # query side may bucket them
+    assert 2 not in set(out.neighbor_id) and 3 not in set(out.neighbor_id)
+    assert 2 not in set(out.vec_id) and 3 not in set(out.vec_id)
+    assert out.cosine.notna().all()

@@ -142,3 +142,12 @@ def test_a_not_b_semantics():
     assert r.theta == min(ea.theta, eb.theta)
     assert (r.hashes < r.theta).all()
     assert not np.isin(r.hashes, eb.hashes).any()
+
+
+def test_filtered_empty_exists_on_all_paths():
+    a = TupleKmv.from_stream(_h([1, 2]), np.ones(2), k=8)
+    assert a.filtered_empty is False
+    assert a.union(a).filtered_empty is False
+    assert a.intersect(a).filtered_empty is False
+    assert a.a_not_b(a).filtered_empty is False
+    assert TupleKmv.deserialize(a.serialize()).filtered_empty is False
