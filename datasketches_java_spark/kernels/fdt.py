@@ -127,7 +127,14 @@ def from_ref_bytes(buf: bytes) -> tuple[np.ndarray, list[list[str]], int, bool]:
     int totBytes, byte numNodes, then per node int len + UTF-8 bytes).
     Returns (hashes int64[], tuples list[list[str]], theta_long, empty)
     — the retained sample our post_process consumes, enabling live
-    cross-library FDT query parity (tests/test_live_jvm_interop.py)."""
+    cross-library FDT query parity (tests/test_live_jvm_interop.py).
+
+    The preamble walk deliberately mirrors tuple_compat.from_ref_bytes
+    (same serVer-1/2/3 forms) rather than sharing code: that parser's
+    codecs return scalar (value, mode) pairs where this one carries
+    variable-length string arrays, and both lanes are independently
+    pinned by goldens + live JVM round-trips — a shared walker would
+    couple two validated readers to save ~30 lines."""
     import struct
 
     pre_longs, version, fam, _stype = buf[0], buf[1], buf[2], buf[3]
