@@ -1451,10 +1451,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 13 <> 0
         """,
         "dedup_keep_list": """
+            -- NULL-safe key mirrors the operator: a NULL text is
+            -- never a duplicate of another NULL text
             SELECT doc_id,
-                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-                   doc_id = min(doc_id) OVER (PARTITION BY md5(text))
-                     AS is_canonical
+                   min(doc_id) OVER (PARTITION BY COALESCE(md5(text),
+                     'null:' || CAST(doc_id AS VARCHAR))) AS canonical_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY COALESCE(md5(text),
+                     'null:' || CAST(doc_id AS VARCHAR))) AS is_canonical
             FROM documents
         """,
         "sequence_pack": """
@@ -1485,7 +1488,9 @@ def oracle_sql() -> dict[str, str]:
                           ELSE text END AS text
               FROM documents
             ), keyed AS (
-              SELECT doc_id AS id, md5(text) AS h,
+              SELECT doc_id AS id,
+                     COALESCE(md5(text),
+                              'null:' || CAST(doc_id AS VARCHAR)) AS h,
                      (doc_id % 10 = 0) AS ev
               FROM enriched
             ), g AS (
@@ -1521,7 +1526,10 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS n_email,
               CAST(len(regexp_extract_all(text,
                 '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
-              CAST(len(regexp_extract_all(text,
+              -- ipv4 counted on email-stripped text (mirrors the
+              -- operator: a quad inside an email host redacts once)
+              CAST(len(regexp_extract_all(
+                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
                 '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
                 AS BIGINT) AS n_ipv4,
               CAST(len(regexp_extract_all(text,
@@ -1529,7 +1537,8 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
                 + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
-                + len(regexp_extract_all(text,
+                + len(regexp_extract_all(
+                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
                   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
                 + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
                 AS BIGINT) AS n_pii,

@@ -6,7 +6,10 @@ Patterns are deliberately ASCII-conservative so Spark's Java regex and
 DuckDB's RE2 agree byte-for-byte (no \\b word boundaries, no lookarounds,
 no unicode classes): email, dashed US phone, IPv4, SSN-shaped ids.
 Pattern shapes kept mutually non-overlapping (phones use dashes only,
-IPv4 uses dots only) so count columns are engine-order independent.
+IPv4 uses dots only) so count columns are engine-order independent;
+the one structural overlap — an ipv4-shaped quad inside an email host
+— is resolved by counting ipv4 on the email-stripped text, matching
+the redaction order.
 
 At 100 TB this is a map-only stage: no shuffle, the scan's ReadSchema
 carries only the text column, and the redaction output streams straight
@@ -33,11 +36,20 @@ _REDACT_ORDER = ("email", "phone", "ssn", "ipv4")
 
 
 def pii_columns(text: Column) -> dict[str, Column]:
-    """Per-document PII hit counts (bigint) plus a total."""
+    """Per-document PII hit counts (bigint) plus a total. Counts agree
+    with redact_pii's replacement count: ipv4 is counted on the
+    email-stripped text, since an ipv4-shaped quad inside an email
+    host (b@host1.2.3.4.example.com) is redacted once as the email,
+    not twice."""
+    email_pat, email_repl = PII_PATTERNS["email"]
     out: dict[str, Column] = {}
     total = F.lit(0).cast("bigint")
     for name, (pat, _) in PII_PATTERNS.items():
-        c = F.regexp_count(text, F.lit(pat)).cast("bigint")
+        src = (
+            F.regexp_replace(text, email_pat, email_repl)
+            if name == "ipv4" else text
+        )
+        c = F.regexp_count(src, F.lit(pat)).cast("bigint")
         # a dashed phone also matches nothing else; ssn (3-2-4) is
         # disjoint from phone (3-3-4) by the middle-group width
         out[f"n_{name}"] = c

@@ -14,10 +14,12 @@ Scale notes (100 TB):
   a few hundred MB of n-grams at web scale while the corpus side
   streams through map-side; the only shuffle is the per-doc count
   aggregation, which is partial-aggregated before exchange.
-- repetition_stats shuffles (doc_id, token) pairs once with map-side
-  combine; the per-doc second aggregation reuses the same hash
-  partitioning (no extra exchange — doc_id is a prefix of the first
-  grouping key).
+- repetition_stats shuffles (doc_id, token) counts once with map-side
+  combine, then a SECOND exchange keys the per-doc rollup on doc_id
+  alone (HashPartitioning(doc_id, w) does NOT satisfy a doc_id-only
+  clustering — same doc, different w, different partition). Both
+  exchanges move partial-aggregated rows, O(distinct (doc, gram)) and
+  O(docs) respectively — never raw tokens.
 - dedup_keep_list is one window over the text-hash partitioning —
   identical shape to exact_dedup_groups, emitted row-per-document.
 """
@@ -70,12 +72,9 @@ def ngram_contamination(
     )
 
 
-def _bp_long(num, den):
-    """Same round-half-up basis-point identity as functions.text._bp,
-    over already-bigint aggregate columns."""
-    return F.when(den <= 0, F.lit(0).cast("bigint")).otherwise(
-        F.floor((F.lit(20000) * num + den) / (F.lit(2) * den))
-    )
+# round-half-up basis points — the shared integer identity (its bigint
+# casts are no-ops on the aggregate columns used here)
+from ..functions.text import _bp as _bp_long  # noqa: E402
 
 
 def repetition_stats(
@@ -127,8 +126,17 @@ def dedup_keep_list(
     """Row-level keep/drop list for exact duplicates: every document
     mapped to its group's canonical (minimum id over identical text),
     with the is_canonical flag a downstream filter consumes. The
-    complementary face of exact_dedup_groups (group summaries)."""
-    w = Window.partitionBy(F.md5(F.col(text_col)))
+    complementary face of exact_dedup_groups (group summaries).
+
+    NULL texts are never duplicates of each other (md5(NULL) is NULL,
+    which would otherwise pool every null-text row into one "group"
+    and drop all but one): each NULL-text document keys to itself and
+    stays canonical."""
+    key = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(key)
     canonical = F.min(F.col(id_col)).over(w)
     return docs.select(
         F.col(id_col),
@@ -221,7 +229,13 @@ def sequence_pack(
         shard.alias("shard"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("id")
+    # rowsBetween: the default RANGE frame pools order-by TIES, so two
+    # rows sharing an id would both receive the combined cumulative sum
+    # (overlapping offsets); ROWS confines each row to its own prefix.
+    # Ids are expected unique — with duplicates the within-tie order
+    # (and thus which doc gets which offset) is frame-order dependent.
+    w = (Window.partitionBy("shard").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
     return base.select(
         "id", "shard", "n_tokens", start
@@ -257,9 +271,14 @@ def split_leakage_audit(
         eval_col if eval_col is not None
         else F.pmod(F.xxhash64(ic.cast("string")), F.lit(eval_mod)) == 0
     )
+    # NULL-safe key: md5(NULL) is NULL, which the equi-join would drop
+    # (silently losing null-text train rows) — key them to themselves
     keyed = docs.select(
         ic.alias("id"),
-        F.md5(F.col(text_col)).alias("__h"),
+        F.coalesce(
+            F.md5(F.col(text_col)),
+            F.concat(F.lit("null:"), ic.cast("string")),
+        ).alias("__h"),
         is_eval.alias("__eval"),
     )
     per_group = keyed.groupBy("__h").agg(

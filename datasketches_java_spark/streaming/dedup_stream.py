@@ -19,6 +19,16 @@ Exactly-once ingest semantics come from two pieces composed:
     no-op, and a crash mid-ingest leaves an unreferenced orphan
     directory the replay supersedes.
 
+Epoch tokens are NAMESPACED by the stream's persistent query id (the
+`id` Structured Streaming writes into `checkpoint_dir/metadata`): raw
+epoch_ids are only unique PER CHECKPOINT, so without the namespace a
+fresh checkpoint (corruption recovery, reprocessing) or a second
+stream feeding the same state_dir would restart at epoch 0 and have
+its first batches silently discarded as historic replays. Same
+checkpoint -> same id -> replays still dedupe; new checkpoint -> new
+id -> no false replay. If the metadata file is unreadable the
+checkpoint path itself is the namespace.
+
 Clustering is deliberately NOT computed per micro-batch: connected
 components is a multi-job stage whose output no sink consumes
 mid-stream. Readers call `plans.delta.state_clusters` on demand (or
@@ -39,16 +49,43 @@ CORPUS_SCHEMA = (
 )
 
 
-def dedup_sink(state_dir: str, cfg: DedupConfig = FROZEN):
+def _stream_tag(checkpoint_dir: str | None) -> str | None:
+    """Persistent identity of the stream writing this checkpoint: the
+    query `id` from `checkpoint_dir/metadata` (written at start(),
+    before the first batch), falling back to the checkpoint path."""
+    if checkpoint_dir is None:
+        return None
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(json.load(f)["id"])
+    except Exception:
+        return checkpoint_dir
+
+
+def dedup_sink(
+    state_dir: str, cfg: DedupConfig = FROZEN,
+    checkpoint_dir: str | None = None,
+):
     """foreachBatch function: ingest each micro-batch into the delta
-    state, idempotent per epoch (see module docstring)."""
+    state, idempotent per (stream, epoch) — see module docstring.
+    `checkpoint_dir=None` keeps raw-int epoch tokens (single-stream,
+    never-recreated checkpoint; pre-namespace manifests)."""
+    holder: dict[str, str] = {}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.isEmpty():
-            ingest_batch(
-                batch_df.sparkSession, state_dir, batch_df, cfg,
-                epoch=int(epoch_id), compute_clusters=False,
-            )
+        if batch_df.isEmpty():
+            return
+        if checkpoint_dir is not None and "tag" not in holder:
+            holder["tag"] = _stream_tag(checkpoint_dir)
+        tag = holder.get("tag")
+        token = f"{tag}:{int(epoch_id)}" if tag else int(epoch_id)
+        ingest_batch(
+            batch_df.sparkSession, state_dir, batch_df, cfg,
+            epoch=token, compute_clusters=False,
+        )
 
     return _sink
 
@@ -77,7 +114,8 @@ def start_dedup_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
     writer = (
-        stream.writeStream.foreachBatch(dedup_sink(state_dir, cfg))
+        stream.writeStream.foreachBatch(
+            dedup_sink(state_dir, cfg, checkpoint_dir=checkpoint_dir))
         .option("checkpointLocation", checkpoint_dir)
         .queryName("dedup_ingest")
     )

@@ -181,3 +181,56 @@ def test_split_leakage_audit(spark):
     assert out[11]["leaked"] and out[11]["n_eval_dups"] == 1
     assert not out[12]["leaked"]
     assert not out[13]["leaked"] and not out[14]["leaked"]
+
+
+def test_null_text_rows_are_not_duplicates_of_each_other(spark):
+    """md5(NULL) is NULL: without the NULL-safe key, every null-text
+    doc pooled into one 'duplicate group' (dedup_keep_list dropped all
+    but one) and vanished from split_leakage_audit's inner join."""
+    import pandas as pd
+
+    from datasketches_java_spark.operators.curation import (
+        dedup_keep_list,
+        split_leakage_audit,
+    )
+    from pyspark.sql import functions as F
+
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["same", "same", None, None, None, "solo"],
+    })
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = dedup_keep_list(df).toPandas().set_index("doc_id")
+    assert not keep.loc[2, "is_canonical"]       # real dup group
+    assert keep.loc[[3, 4, 5], "is_canonical"].all()  # nulls all kept
+    audit = split_leakage_audit(
+        df, eval_col=(F.col("doc_id") == 1)).toPandas()
+    # all five non-eval docs present, incl. the null-text ones
+    assert sorted(audit.id) == [2, 3, 4, 5, 6]
+    assert bool(audit.set_index("id").loc[2, "leaked"])
+    assert not audit.set_index("id").loc[[3, 4, 5, 6], "leaked"].any()
+
+
+def test_sequence_pack_duplicate_ids_get_disjoint_offsets(spark):
+    """ROWS frame: duplicate order keys must not pool their cumulative
+    sums (RANGE gave both tied rows the combined sum -> overlapping
+    pack offsets)."""
+    import pandas as pd
+
+    from datasketches_java_spark.operators.curation import sequence_pack
+
+    rows = pd.DataFrame({
+        "doc_id": [7, 7, 8],
+        "text": ["a b c d e", "x y z", "q r"],
+    })
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sequence_pack(df, budget=1000, shard_col=None, n_shards=1,
+                        id_col="doc_id", text_col="text").toPandas()
+    # offsets are a disjoint prefix tiling: sorted starts == cumsum
+    out = out.sort_values("pack_offset")
+    starts = out.pack_offset.tolist()
+    sizes = out.n_tokens.tolist()
+    expect = [0]
+    for n in sizes[:-1]:
+        expect.append(expect[-1] + n)
+    assert starts == expect

@@ -102,8 +102,9 @@ def test_multi_level_invariants_and_assignment(spark):
     for r in rows:
         assert counts.get(r.part, 0) == r.approx_rows
     # physical co-location: every part id lands wholly in ONE Spark
-    # partition (hash repartition may pack two small parts together,
-    # but never splits one — the property the write side needs)
+    # partition (range repartition over contiguous part ids may still
+    # merge adjacent small parts, but never splits one — the property
+    # the write side needs)
     from pyspark.sql import functions as F
 
     split = (

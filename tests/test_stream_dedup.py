@@ -84,3 +84,36 @@ def test_epoch_replay_is_noop(spark, corpus, tmp_path):
     )
     _, _, man3 = read_state(spark, state)
     assert len(man3["batches"]) == len(man1["batches"]) + 1
+
+
+def test_fresh_checkpoint_same_state_is_not_a_false_replay(spark, corpus, tmp_path):
+    """Epoch tokens are namespaced by the checkpoint's query id: a NEW
+    checkpoint (recovery/reprocess) or second stream writing the same
+    state_dir restarts epoch_id at 0 but must NOT be discarded as a
+    replay of the first stream's epoch 0."""
+    cols = CORPUS_SCHEMA.replace(" string", "").replace(" binary", "") \
+        .replace(" int", "").replace(" long", "").split(", ")
+    half_a = corpus.filter(F.crc32(F.col("image_id")) % 2 == 0).select(*cols)
+    half_b = corpus.filter(F.crc32(F.col("image_id")) % 2 == 1).select(*cols)
+    state = str(tmp_path / "state")
+
+    src_a = str(tmp_path / "drops_a")
+    half_a.write.parquet(os.path.join(src_a, "d1"))
+    q = start_dedup_stream(spark, src_a + "/*", state, str(tmp_path / "ck_a"))
+    q.awaitTermination(300)
+    _, _, man1 = read_state(spark, state)
+    n_after_a = sum(b["n_signatures"] for b in man1["batches"])
+    assert n_after_a == half_a.count()
+
+    # brand-new checkpoint + source, SAME state dir: its epoch 0 must ingest
+    src_b = str(tmp_path / "drops_b")
+    half_b.write.parquet(os.path.join(src_b, "d1"))
+    q = start_dedup_stream(spark, src_b + "/*", state, str(tmp_path / "ck_b"))
+    q.awaitTermination(300)
+    _, _, man2 = read_state(spark, state)
+    assert sum(b["n_signatures"] for b in man2["batches"]) \
+        == half_a.count() + half_b.count()
+    # and the recorded epoch tokens are namespaced (strings with a tag)
+    tokens = [b["epoch"] for b in man2["batches"]]
+    assert all(isinstance(t, str) and ":" in t for t in tokens)
+    assert len(set(tokens)) == len(tokens)
