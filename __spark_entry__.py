@@ -1369,7 +1369,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nw,
                 CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace,
                 CAST(len(regexp_extract_all(text,
-                     '[^ \t\n]*[A-Za-z][^ \t\n]*')) AS BIGINT) AS alpha,
+                     '[^ \t\n\x0B\f\r]*[A-Za-z][^ \t\n\x0B\f\r]*')) AS BIGINT) AS alpha,
                 CAST(1 + len(regexp_extract_all(text, '\n')) AS BIGINT) AS nl,
                 CAST(len(regexp_extract_all(chr(10) || text,
                      '\n[ \t]*[-*]')) AS BIGINT) AS bul,

@@ -23,9 +23,12 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(text))
-    ).cast("bigint")
+    # NULL-safe: length(trim(NULL)) is NULL (condition falls through)
+    # and size(split(NULL)) is -1 under legacy sizeOfNull — a NULL text
+    # counts 0 tokens, never -1 (which would skew SUM(n_tokens) budgets)
+    return F.when(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(0)
+    ).otherwise(F.size(tokens(text))).cast("bigint")
 
 
 # BPE-ish pre-tokenizer rule (GPT-2 family, ASCII-restricted so Spark's
@@ -109,7 +112,9 @@ GOPHER_MAX_ELLIPSIS_BP = 3_000         # <= 30% lines end with "..."
 # token containing at least one letter: greedy X*LX* matches the whole
 # whitespace-delimited token once in both leftmost-first (Java) and
 # leftmost-longest (RE2) semantics
-ALPHA_WORD_RE = r"[^ \t\n]*[A-Za-z][^ \t\n]*"
+# negated class matches Java \s (token_count's splitter) so \r/\f/\v
+# separators never fuse two words into one alpha "token"
+ALPHA_WORD_RE = r"[^ \t\n\x0B\f\r]*[A-Za-z][^ \t\n\x0B\f\r]*"
 
 
 def gopher_columns(text: Column) -> dict[str, Column]:

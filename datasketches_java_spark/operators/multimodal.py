@@ -46,7 +46,11 @@ def decode_features(df: DataFrame, batch_check_phash: bool = True) -> DataFrame:
                     imgs[i] = img
                     w[i], h[i], fmt[i] = meta["w"], meta["h"], meta["fmt"]
                     ok[i] = True
-                except NotImplementedError:
+                except Exception:
+                    # foreign format (NotImplementedError stub) OR a
+                    # corrupt buffer (zlib.error / ValueError from a
+                    # truncated TIMG payload): decode_ok=False per row,
+                    # never a failed task
                     pass
             mean_rgb = np.zeros((n, 3))
             std = np.zeros(n)
@@ -55,13 +59,12 @@ def decode_features(df: DataFrame, batch_check_phash: bool = True) -> DataFrame:
             for i in np.nonzero(ok)[0]:
                 by_shape.setdefault(imgs[i].shape, []).append(int(i))
             for idxs in by_shape.values():
-                A = np.stack([imgs[i] for i in idxs]).astype(np.float64)
+                S = np.stack([imgs[i] for i in idxs])  # one stack/group
+                A = S.astype(np.float64)
                 mean_rgb[idxs] = A.mean(axis=(1, 2))
                 std[idxs] = A.reshape(len(idxs), -1).std(axis=1)
                 if batch_check_phash:
-                    ph[idxs] = codec.phash64_batch_pixels(
-                        np.stack([imgs[i] for i in idxs])
-                    )
+                    ph[idxs] = codec.phash64_batch_pixels(S)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
@@ -90,9 +93,14 @@ def resize_thumbnails(df: DataFrame, max_side: int = 16) -> DataFrame:
         for pdf in batches:
             ids, thumbs, tws, ths = [], [], [], []
             for iid, buf in zip(pdf["image_id"], pdf["bytes"]):
-                img, _ = codec.decode(bytes(buf))
+                try:
+                    img, _ = codec.decode(bytes(buf))
+                except Exception:
+                    continue  # foreign/corrupt: surfaced via row absence
                 h, w = img.shape[:2]
-                scale = max(1, max(h, w) // max_side)
+                # ceil division: floor gave ceil(dim/scale) > max_side
+                # (100x100 @ max_side=16 -> stride 6 -> 17 rows)
+                scale = max(1, -(-max(h, w) // max_side))
                 thumb = img[::scale, ::scale]
                 ids.append(iid)
                 thumbs.append(codec.encode(thumb, "png"))
@@ -120,8 +128,12 @@ def psnr_pairs(df_pairs: DataFrame, corpus: DataFrame) -> DataFrame:
             for ia, ib, ba, bb in zip(
                 pdf["id_a"], pdf["id_b"], pdf["bytes_a"], pdf["bytes_b"]
             ):
-                im_a, _ = codec.decode(bytes(ba))
-                im_b, _ = codec.decode(bytes(bb))
+                try:
+                    im_a, _ = codec.decode(bytes(ba))
+                    im_b, _ = codec.decode(bytes(bb))
+                except Exception:
+                    rows.append((ia, ib, float("nan"), False))
+                    continue
                 if im_a.shape == im_b.shape:
                     rows.append((ia, ib, codec.psnr(im_a, im_b), True))
                 else:
@@ -240,7 +252,8 @@ def audio_features(
                 dur[i] = cnt[i] / max(rate[i], 1)
                 x = s.astype(np.float64)
                 rms[i] = float(np.sqrt(np.mean(x * x))) if s.size else 0.0
-                peak[i] = int(np.abs(s).max()) if s.size else 0
+                # abs in int32: np.abs(int16 -32768) wraps to -32768
+                peak[i] = int(np.abs(s.astype(np.int32)).max()) if s.size else 0
                 zc[i] = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
                 ok[i] = True
             yield pd.DataFrame(

@@ -44,22 +44,28 @@ _CURRENT = "CURRENT"
 
 
 def _current_manifest(state_dir: str) -> tuple[str | None, dict]:
-    """(manifest name, bucket→delta-dir map) of the committed state.
-    Legacy single-directory layouts (round-3 full-rewrite states, or a
-    bare state_vN dir) surface as {"*": dirname}: every bucket reads
-    from that one directory until the next batch migrates it."""
+    """(manifest name, manifest dict) of the committed state. The dict
+    carries "buckets" (bucket→delta-dir map), plus — for manifests
+    written since the run-unique versioning fix — "commit" (monotone
+    commit index) and "batch" (the writing stream's namespaced batch
+    token, for retry detection). Legacy single-directory layouts
+    (round-3 full-rewrite states, or a bare state_vN dir) surface as
+    buckets={"*": dirname}: every bucket reads from that one directory
+    until the next batch migrates it."""
     ptr = os.path.join(state_dir, _CURRENT)
     if not os.path.exists(ptr):
-        return None, {}
+        return None, {"buckets": {}}
     with open(ptr) as f:
         name = f.read().strip()
     path = os.path.join(state_dir, name)
     if name.endswith(".json") and os.path.isfile(path):
         with open(path) as f:
-            return name, json.load(f)["buckets"]
+            man = json.load(f)
+        man.setdefault("buckets", {})
+        return name, man
     if os.path.isdir(path):  # legacy whole-state directory
-        return name, {"*": name}
-    return None, {}
+        return name, {"buckets": {"*": name}}
+    return None, {"buckets": {}}
 
 
 def _flip_current(state_dir: str, manifest_name: str) -> None:
@@ -97,10 +103,10 @@ def merge_sketch_states(old: pd.DataFrame, new: pd.DataFrame, k: int) -> pd.Data
     for df in (old, new):
         for g, b in zip(df.iloc[:, 0], df["sketch"]):
             sig, kk = kmv.deserialize(bytes(b))
-            if g in merged:
-                merged[g] = kmv.union(merged[g], sig, k)
-            else:
-                merged[g] = sig
+            # union with the empty identity even for first-seen groups:
+            # a state serialized at a larger k must still cap at THIS k
+            prev = merged.get(g, np.empty(0, np.int64))
+            merged[g] = kmv.union(prev, sig, k)
     return pd.DataFrame(
         {old.columns[0]: list(merged.keys()),
          "sketch": [kmv.serialize(s, k) for s in merged.values()]}
@@ -138,21 +144,40 @@ def run_incremental_signatures(
     def _bucket_of(col):
         return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
+    from .dedup_stream import _stream_tag
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        version = f"delta_v{batch_id}"
-        manifest_name = f"MANIFEST_v{batch_id}.json"
-        cur_name, prev_map = _current_manifest(state_dir)
-        if cur_name == manifest_name:
+        cur_name, prev_man = _current_manifest(state_dir)
+        prev_map = prev_man["buckets"]
+        # batch token namespaced by the checkpoint's persistent query
+        # id: raw batch_ids are only unique PER CHECKPOINT, so a fresh
+        # checkpoint (or second stream) restarting at batch 0 must not
+        # false-match a historic batch — and version names must never
+        # collide with directories a live manifest still references.
+        token = f"{_stream_tag(checkpoint_dir)}:{int(batch_id)}"
+        if prev_man.get("batch") == token or (
+            "batch" not in prev_man
+            and cur_name == f"MANIFEST_v{batch_id}.json"
+        ):
             # retry of an already-committed batch (failure landed between
             # the CURRENT flip and the stream-checkpoint commit): state
             # already includes this batch — the KMV union is idempotent,
             # so skipping preserves exactly-once semantics.
             return
+        commit = int(prev_man.get("commit", -1)) + 1
+        if "commit" not in prev_man and cur_name:
+            # legacy manifests were named by batch_id — start above it
+            import re as _re
+
+            m = _re.search(r"_v(\d+)", cur_name)
+            commit = (int(m.group(1)) + 1) if m else 0
+        version = f"delta_c{commit}"
+        manifest_name = f"MANIFEST_c{commit}.json"
         new = kmv_sketch_bytes_agg(
             batch_df.withColumn(group_col, F.col(group_col).cast("string")),
             group_col, value_col, k,
-        )
+        ).persist()  # read 2-3x below (touched scan + merge write)
         touched = sorted(
             r[0] for r in
             new.select(_bucket_of(F.col(group_col)).alias("b")).distinct().collect()
@@ -188,9 +213,11 @@ def run_incremental_signatures(
             new_map[str(b)] = version
         mpath = os.path.join(state_dir, manifest_name)
         with open(mpath + ".tmp", "w") as f:
-            json.dump({"buckets": new_map}, f)
+            json.dump(
+                {"buckets": new_map, "commit": commit, "batch": token}, f)
         os.replace(mpath + ".tmp", mpath)
         _flip_current(state_dir, manifest_name)
+        new.unpersist(blocking=False)
         # GC with a one-generation grace period (round-4 advice): keep
         # every version referenced by the NEW manifest or the PREVIOUS
         # one, so a concurrent read_state_estimates that resolved the
@@ -200,7 +227,8 @@ def run_incremental_signatures(
         referenced = set(new_map.values()) | set(prev_map.values())
         for d in os.listdir(state_dir):
             if (
-                (d.startswith("delta_v") or d.startswith("state_v"))
+                (d.startswith("delta_v") or d.startswith("delta_c")
+                 or d.startswith("state_v"))
                 and d not in referenced
                 and os.path.isdir(os.path.join(state_dir, d))
             ):
@@ -219,7 +247,8 @@ def read_state_estimates(state_dir: str, k: int = 256) -> pd.DataFrame:
     """Distinct-count estimates from the persisted sketch state."""
     import glob as _glob
 
-    _, bmap = _current_manifest(state_dir)
+    _, man = _current_manifest(state_dir)
+    bmap = man["buckets"]
     if bmap:
         dirs = _bucket_paths(state_dir, bmap)
         files = [

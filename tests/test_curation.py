@@ -234,3 +234,35 @@ def test_sequence_pack_duplicate_ids_get_disjoint_offsets(spark):
     for n in sizes[:-1]:
         expect.append(expect[-1] + n)
     assert starts == expect
+
+
+def test_token_count_null_text_is_zero(spark):
+    """size(split(NULL)) is -1 under legacy sizeOfNull — a NULL text
+    must count 0 tokens, not poison SUM(n_tokens) budgets."""
+    import pandas as pd
+
+    from datasketches_java_spark.functions.text import token_count
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": [None, "", "  ", "a b"]}), "text string")
+    got = df.select(token_count(F.col("text")).alias("n")).toPandas().n.tolist()
+    assert got == [0, 0, 0, 2]
+
+
+def test_alpha_words_split_on_all_java_whitespace(spark):
+    """\\r / \\f / \\v separate words exactly like token_count's \\s+
+    splitter, so a 100%-alphabetic CR-separated document passes the
+    Gopher alpha gate."""
+    import pandas as pd
+
+    from datasketches_java_spark.functions.text import gopher_columns
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["abc\rdef ghi\x0cjkl mno pqr stu vwx yz aa"]}),
+        "text string")
+    from pyspark.sql import functions as F
+
+    cols = gopher_columns(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+    assert row["alpha_word_bp"] == 10000

@@ -117,3 +117,47 @@ def test_delta_merge_rewrites_only_touched_buckets(spark, smoke_sf_dir, tmp_path
     )
     for g, true in exact.items():
         assert est.loc[g, "distinct_lb"] <= true <= est.loc[g, "distinct_ub"]
+
+
+def test_fresh_checkpoint_continues_incremental_state(spark, smoke_sf_dir, tmp_path):
+    """A NEW checkpoint (recovery/reprocess) over the SAME state dir
+    restarts batch_id at 0; its batches must neither be skipped as
+    replays nor overwrite delta directories the committed manifest
+    still references (versions are commit-indexed, batch tokens are
+    checkpoint-namespaced)."""
+    from datasketches_java_spark.streaming.incremental import (
+        _current_manifest,
+        read_state_estimates,
+        run_incremental_signatures,
+    )
+
+    events = spark.read.parquet(f"{smoke_sf_dir}/events.parquet")
+    half_a = events.filter(F.crc32(F.col("user_id").cast("string")) % 2 == 0)
+    half_b = events.filter(F.crc32(F.col("user_id").cast("string")) % 2 == 1)
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+
+    src_a = str(tmp_path / "src_a")
+    half_a.repartition(2).write.parquet(src_a)
+    run_incremental_signatures(
+        spark, src_a, state, str(tmp_path / "ck_a"),
+        group_col="event_type", value_col="user_id", k=4096)
+
+    src_b = str(tmp_path / "src_b")
+    half_b.repartition(2).write.parquet(src_b)
+    run_incremental_signatures(
+        spark, src_b, state, str(tmp_path / "ck_b"),
+        group_col="event_type", value_col="user_id", k=4096)
+
+    _, man = _current_manifest(state)
+    assert "batch" in man and ":" in str(man["batch"])
+    est = read_state_estimates(state, 4096).set_index("group")
+    exact = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .toPandas().set_index("event_type")["n"]
+    )
+    # k=4096 >= per-group distincts at smoke tier => exact estimates;
+    # losing either stream's batches would undercount
+    for g, true in exact.items():
+        assert est.loc[g, "distinct_est"] == true
