@@ -44,17 +44,27 @@ def cluster_audits(
     cfg: DedupConfig = FROZEN,
     corpus: DataFrame | None = None,
     min_size: int = 2,
+    idmap: DataFrame | None = None,
 ) -> DataFrame:
     """Audit table for clusters with >= min_size members.
 
     `clusters` is the boundary table (image_id, cluster_id string);
-    `signatures` is the internal table keyed by id64 — the join key is
-    re-derived as xxhash64(image_id), the same function the signature
-    stage used, so no id map needs to travel."""
+    `signatures` is the internal table keyed by id64. With the default
+    keying the join key is re-derived as xxhash64(image_id) — the same
+    function the signature stage used, so no id map needs to travel;
+    pipelines running id_remap/id_key MUST pass their `idmap`
+    (id64, image_id) instead, or remapped rows would silently drop out
+    of the audit join (run_pipeline does)."""
     k = cfg.kmv_k
-    members = clusters.filter(F.col("cluster_size") >= min_size).select(
-        "image_id", F.xxhash64("image_id").alias("id64"), "cluster_id"
-    )
+    base = clusters.filter(F.col("cluster_size") >= min_size)
+    if idmap is not None:
+        members = base.join(F.broadcast(idmap), "image_id").select(
+            "image_id", "id64", "cluster_id"
+        )
+    else:
+        members = base.select(
+            "image_id", F.xxhash64("image_id").alias("id64"), "cluster_id"
+        )
     sig = signatures.select("id64", "sig")
     joined = members.join(sig, "id64").select("cluster_id", "sig")
 

@@ -243,9 +243,17 @@ def connected_components(
                 E1, m1 = _contract(E)
                 E2, m2 = _contract(E1)
                 rounds += 2
+                # persist the (small) hook maps and write the edge
+                # checkpoint FIRST: the label job then reads m1/m2 from
+                # cache instead of re-running both contraction chains
+                # (the two writes are separate Spark jobs — without
+                # this, every round paid ~2x its shuffle cost)
+                m1, m2 = m1.persist(), m2.persist()
+                E = _pq_checkpoint(E2, state_root, f"edges_{rounds}")
                 new_labels = _apply_map(_apply_map(labels, m1), m2)
                 labels = _pq_checkpoint(new_labels, state_root, f"labels_{rounds}")
-                E = _pq_checkpoint(E2, state_root, f"edges_{rounds}")
+                m1.unpersist(blocking=False)
+                m2.unpersist(blocking=False)
                 remaining = E.count()
                 for name in (f"labels_{rounds - 2}", f"edges_{rounds - 2}"):
                     shutil.rmtree(os.path.join(state_root, name), ignore_errors=True)

@@ -164,10 +164,10 @@ def _signature_batches(cfg: DedupConfig):
 
             th, trows = token_hashes(norm, cfg.seed)
             sh = simhash_batch(th, trows, n)
-            n_tokens = np.zeros(n, dtype=np.int32)
-            if len(trows):
-                tc = pd.Series(trows).value_counts()
-                n_tokens[tc.index.to_numpy()] = tc.to_numpy()
+            n_tokens = (
+                np.bincount(trows, minlength=n).astype(np.int32)
+                if len(trows) else np.zeros(n, dtype=np.int32)
+            )
 
             # one (n, 38) int32 matrix → per-row band lists; rows with
             # no shingles keep only their pHash keys (an empty caption
@@ -298,6 +298,21 @@ def id_collision_audit(corpus: DataFrame, key=None) -> DataFrame:
     )
 
 
+def effective_cfg(corpus: DataFrame, cfg: DedupConfig) -> DedupConfig:
+    """Disable the image channel when the corpus has no phash column:
+    the old fabricated phash=0 gave every row identical pHash band
+    keys — one corpus-sized hot band whose star pairs then verified at
+    hamming 0 and merged the WHOLE corpus into a single cluster. A
+    text-only table gets a text-only config automatically."""
+    if "phash" not in corpus.columns and (
+        cfg.phash_bands > 0 or cfg.phash_max_hamming >= 0
+    ):
+        from dataclasses import replace
+
+        return replace(cfg, phash_bands=0, phash_max_hamming=-1)
+    return cfg
+
+
 def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN,
                        remap: DataFrame | None = None, key=None) -> DataFrame:
     """corpus (input_hint schema) → signature table keyed by id64.
@@ -308,13 +323,22 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig = FROZEN,
 
     `remap` (build_id_remap) re-keys quarantined colliding ids; `key`
     overrides the hash expression (tests inject a narrow hash)."""
+    cfg = effective_cfg(corpus, cfg)
     cols = (
         ["image_id", "caption", "phash"] if "phash" in corpus.columns
         else ["image_id", "caption"]
     )
     keyed = apply_id_remap(corpus.select(*cols), remap, key)
     if "phash" in corpus.columns:
-        slim = keyed.select("id64", "caption", "phash")
+        # NULL phash would reach the kernel as NaN and cast to a SHARED
+        # int64 garbage value (every null row band-colliding and
+        # verifying at hamming 0 against every other null row); the
+        # row's own id64 is a per-row-unique stand-in that never
+        # systematically collides or matches.
+        slim = keyed.select(
+            "id64", "caption",
+            F.coalesce(F.col("phash"), F.col("id64")).alias("phash"),
+        )
     else:
         slim = keyed.select(
             "id64", "caption", F.lit(0).cast("bigint").alias("phash")

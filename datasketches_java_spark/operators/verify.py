@@ -41,6 +41,16 @@ def _verify_batches(cfg: DedupConfig):
             sig_a = [np.frombuffer(s, dtype="<i4") for s in pdf["sig_a"]]
             sig_b = [np.frombuffer(s, dtype="<i4") for s in pdf["sig_b"]]
             lb, est, ub = kmv.jaccard_bounds_batch(sig_a, sig_b, cfg.kmv_k, 2.0)
+            # empty-caption rule (matches the golden oracle: empty text
+            # yields no shingles and therefore no pairs): a pair where
+            # EITHER caption produced no shingles can never match on a
+            # text channel — the theta convention "two empties are
+            # exactly equal" (J=1) and simhash(0)==simhash(0) would
+            # otherwise mark caption-less images as caption duplicates.
+            text_ok = np.array(
+                [len(a) > 0 and len(b) > 0 for a, b in zip(sig_a, sig_b)],
+                dtype=bool,
+            )
             sh = hamming64(
                 pdf["sim_a"].to_numpy(np.int64), pdf["sim_b"].to_numpy(np.int64)
             )
@@ -56,8 +66,8 @@ def _verify_batches(cfg: DedupConfig):
                     "jaccard_ub": ub,
                     "simhash_hamming": sh.astype(np.int32),
                     "phash_hamming": ph.astype(np.int32),
-                    "match_caption": est >= cfg.jaccard_verify,
-                    "match_simhash": sh <= cfg.simhash_max_hamming,
+                    "match_caption": (est >= cfg.jaccard_verify) & text_ok,
+                    "match_simhash": (sh <= cfg.simhash_max_hamming) & text_ok,
                     "match_phash": (
                         ph <= cfg.phash_max_hamming
                         if cfg.phash_max_hamming >= 0

@@ -69,7 +69,8 @@ def _stage(
     the cache — otherwise every stage would compute twice (once for the
     count, once for its consumer)."""
     t0 = time.time()
-    if root is not None and not force and tables.checkpoint_exists(root, name):
+    if root is not None and not force and tables.checkpoint_exists(
+            root, name, spark=spark):
         df = tables.read_checkpoint(spark, root, name)
         metrics[f"{name}_resumed"] = True
     else:
@@ -136,6 +137,9 @@ def run_pipeline(
     collisions are expected; off by default at bench tiers where
     P(any collision) < 1e-8. `id_key` overrides the id hash (tests
     inject a deliberately narrow hash to force the collision path)."""
+    from ..operators.signatures import effective_cfg
+
+    cfg = effective_cfg(corpus, cfg)  # no-phash corpus => text-only run
     metrics: dict = {"config_hash": cfg.config_hash()}
     remap = None
     if id_remap:
@@ -144,31 +148,49 @@ def run_pipeline(
         remap = build_id_remap(corpus, key=id_key)
         metrics["id_remapped_rows"] = remap.count()
     if checkpoint_root is not None:
-        # key checkpoints by (config, corpus identity): resuming a
-        # different corpus from the same root must never serve stale
-        # stage outputs
-        checkpoint_root = os.path.join(
-            checkpoint_root, f"{cfg.config_hash()}_{_corpus_fingerprint(corpus)}"
+        # key checkpoints by (config, corpus identity, id keying):
+        # resuming a different corpus — or the same corpus with a
+        # different id_remap/id_key scheme, which re-keys id64 — from
+        # the same root must never serve stale stage outputs
+        import hashlib as _hl
+
+        idk = (
+            "0" if id_key is None
+            else _hl.md5(str(id_key).encode()).hexdigest()[:8]
         )
+        ckey = (
+            f"{cfg.config_hash()}_{_corpus_fingerprint(corpus)}"
+            f"_r{int(id_remap)}k{idk}"
+        )
+        if tables._is_table_root(checkpoint_root):
+            # Iceberg lane: a path join would turn the catalog
+            # namespace into a filesystem path — key the TABLE NAMES
+            # instead (cat.db, stage "<ckey>__signatures")
+            _key_prefix = f"{ckey}__"
+        else:
+            checkpoint_root = os.path.join(checkpoint_root, ckey)
+            _key_prefix = ""
+    else:
+        _key_prefix = ""
 
     signatures = _stage(
-        spark, checkpoint_root, "signatures",
+        spark, checkpoint_root, _key_prefix + "signatures",
         lambda: compute_signatures(corpus, cfg, remap=remap, key=id_key),
         metrics, persist=True,
     )
     candidates = _stage(
-        spark, checkpoint_root, "candidates",
+        spark, checkpoint_root, _key_prefix + "candidates",
         lambda: candidate_pairs(explode_bands(signatures), cfg), metrics,
         persist=True,
     )
     verified64 = _stage(
-        spark, checkpoint_root, "verified",
+        spark, checkpoint_root, _key_prefix + "verified",
         lambda: verify_pairs(candidates, signatures, cfg), metrics, persist=True,
     )
 
     vertices = signatures.select("id64")
     labels64 = _stage(
-        spark, checkpoint_root, "clusters",
+        spark, checkpoint_root, _key_prefix + "clusters",
         lambda: connected_components(
             verified64.select("id_a", "id_b"), vertices,
             n_edges=metrics["verified_rows"],
@@ -204,7 +226,7 @@ def run_pipeline(
         from ..operators.audits import cluster_audits
 
         result.audits = cluster_audits(spark, clusters, signatures, cfg,
-                                       corpus=corpus)
+                                       corpus=corpus, idmap=idmap)
     return result
 
 

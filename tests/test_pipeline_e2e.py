@@ -111,3 +111,71 @@ def test_checkpoint_partition_metrics_table(spark, smoke_sf_dir, tmp_path):
         assert pm["n_rows"].sum() == res.metrics[f"{stage}_rows"]
         assert pm["partition_id"].is_unique
         assert (pm["lineage_key"] == os.path.basename(sub)).all()
+
+
+def test_no_phash_corpus_does_not_collapse_into_one_cluster(spark):
+    """A corpus WITHOUT a phash column under the default (image) config
+    must auto-disable the image channel: the old fabricated phash=0
+    gave every row identical pHash band keys and hamming 0, merging the
+    whole corpus into a single cluster."""
+    import pandas as pd
+
+    from datasketches_java_spark.config import FROZEN
+    from datasketches_java_spark.plans.pipeline import run_pipeline
+
+    rows = pd.DataFrame({
+        "image_id": [f"i{j}" for j in range(20)],
+        # genuinely disjoint captions: no shared template words, so
+        # no legitimate text-channel near-dups
+        "caption": [" ".join(f"w{j}x{t}q{(j * 7 + t) % 97}" for t in range(8))
+                    for j in range(20)],
+    })
+    df = spark.createDataFrame(rows)
+    res = run_pipeline(spark, df, FROZEN)
+    sizes = res.clusters.groupBy("cluster_id").count().toPandas()["count"]
+    assert sizes.max() == 1  # nothing merges
+
+
+def test_null_phash_rows_are_not_phash_duplicates(spark):
+    """NULL phash values must not share a garbage cast value (INT64_MIN)
+    that band-collides and verifies at hamming 0."""
+    import pandas as pd
+
+    from datasketches_java_spark.config import FROZEN
+    from datasketches_java_spark.plans.pipeline import run_pipeline
+
+    rows = pd.DataFrame({
+        "image_id": [f"n{j}" for j in range(12)],
+        "caption": [" ".join(f"z{j}y{t}k{(j * 11 + t) % 89}" for t in range(8))
+                    for j in range(12)],
+        "phash": pd.array([None] * 12, dtype="Int64"),
+    })
+    df = spark.createDataFrame(rows, "image_id string, caption string, phash long")
+    res = run_pipeline(spark, df, FROZEN)
+    assert res.verified64.count() == 0
+    sizes = res.clusters.groupBy("cluster_id").count().toPandas()["count"]
+    assert sizes.max() == 1
+
+
+def test_empty_captions_never_match_text_channels(spark):
+    """Two caption-less rows with near-identical images match on the
+    IMAGE channel only — the theta 'two empties are exactly equal'
+    rule (J=1) must not mark them caption duplicates (the golden
+    oracle never emits empty-text pairs)."""
+    import pandas as pd
+
+    from datasketches_java_spark.config import FROZEN
+    from datasketches_java_spark.plans.pipeline import run_pipeline
+    from pyspark.sql import functions as F
+
+    rows = pd.DataFrame({
+        "image_id": ["e1", "e2"],
+        "caption": ["", "  "],
+        "phash": pd.array([0b1010101, 0b1010100], dtype="Int64"),  # hamming 1
+    })
+    df = spark.createDataFrame(rows, "image_id string, caption string, phash long")
+    res = run_pipeline(spark, df, FROZEN)
+    v = res.verified64.toPandas()
+    assert len(v) == 1  # the image-channel pair
+    assert bool(v.match_phash.iloc[0])
+    assert not v.match_caption.any() and not v.match_simhash.any()
