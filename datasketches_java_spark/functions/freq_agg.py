@@ -85,12 +85,11 @@ def mg_frequent_items_agg(
                 "item": list(agg.keys()) + [None],
                 "cnt": list(agg.values()) + [0],
                 "offset": [0] * len(agg) + [offset],
-                "n": [0] * len(agg) + [n],
             }
         )
 
     partials = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
-        partial, "item string, cnt bigint, offset bigint, n bigint"
+        partial, "item string, cnt bigint, offset bigint"
     )
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:

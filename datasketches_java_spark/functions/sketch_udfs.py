@@ -24,8 +24,18 @@ from ..kernels.shingle import _flatten_utf8
 
 
 def _hash_strings(values: pd.Series, seed: int) -> np.ndarray:
+    """63-bit hashes; the caller must handle NULLs (see _hash_valid —
+    the reference's update(null) is a NO-OP, theta/UpdatableThetaSketch
+    update contract, so NULL must not hash like an empty string)."""
     data, starts, lens = _flatten_utf8(values.fillna("").astype(str))
     return (hash_bytes_batch(data, starts, lens, seed) >> np.uint64(1)).astype(np.int64)
+
+
+def _hash_valid(values: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, valid_mask): NULL values are masked out (reference
+    update(null) no-op) instead of hashing as ''."""
+    valid = values.notna().to_numpy()
+    return _hash_strings(values, seed), valid
 
 
 def kmv_distinct_agg(
@@ -49,19 +59,20 @@ def kmv_distinct_agg(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            h = _hash_strings(pdf[value_col], seed)
-            groups: dict = {}
-            codes, uniques = pd.factorize(pdf[group_col])
-            for gi, gname in enumerate(uniques):
-                sig = kmv.bottom_k(h[codes == gi], k)
-                groups[gname] = kmv.serialize(sig, k)
-            yield pd.DataFrame(
-                {group_col: list(groups.keys()), "sketch": list(groups.values())}
-            )
+            h, valid = _hash_valid(pdf[value_col], seed)
+            out_g, out_b = [], []
+            # one groupby pass (the factorize+rescan form was O(G*N));
+            # dropna=False keeps a NULL group like SQL GROUP BY
+            for g, sub in pdf.groupby(group_col, sort=False, dropna=False):
+                idx = sub.index.to_numpy()
+                hv = h[idx][valid[idx]]  # NULL values: update no-op
+                out_g.append(None if pd.isna(g) else g)
+                out_b.append(kmv.serialize(kmv.bottom_k(hv, k), k))
+            yield pd.DataFrame({group_col: out_g, "sketch": out_b})
 
-    partials = df.select(group_col, value_col).mapInPandas(
-        partial, f"{group_col} string, sketch binary"
-    )
+    partials = df.select(
+        F.col(group_col).cast("string").alias(group_col), value_col
+    ).mapInPandas(partial, f"{group_col} string, sketch binary")
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
         sigs = [kmv.deserialize(b)[0] for b in pdf["sketch"]]
@@ -93,12 +104,12 @@ def kmv_sketch_bytes_agg(
     analog of CompactThetaSketch.toByteArray (theta/ThetaSketch.java:423)."""
 
     def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_strings(pdf[value_col], seed)
-        sig = kmv.bottom_k(h, k)
+        h, valid = _hash_valid(pdf[value_col], seed)
+        sig = kmv.bottom_k(h[valid], k)
         return pd.DataFrame({group_col: [key[0]], "sketch": [kmv.serialize(sig, k)]})
 
     return (
-        df.select(group_col, value_col)
+        df.select(F.col(group_col).cast("string").alias(group_col), value_col)
         .groupBy(group_col)
         .applyInPandas(agg, f"{group_col} string, sketch binary")
     )
@@ -225,6 +236,10 @@ def varopt_sample_agg(
 
     def partial(batches) -> "pd.DataFrame":
         for pdf in batches:
+            # NULL item/weight rows are update no-ops (reference rule;
+            # a NaN weight would otherwise slip the kernel's positive
+            # guard and poison the cumulative-weight solve)
+            pdf = pdf[pdf[item_col].notna() & pdf[weight_col].notna()]
             if len(pdf) == 0:
                 continue
             frames = []
@@ -238,9 +253,9 @@ def varopt_sample_agg(
                 ))
             yield pd.concat(frames, ignore_index=True)
 
-    partials = df.select(group_col, item_col, weight_col).mapInPandas(
-        partial, schema
-    )
+    partials = df.select(
+        F.col(group_col).cast("string").alias(group_col), item_col, weight_col
+    ).mapInPandas(partial, schema)
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
         it, adj = _sample(
@@ -276,6 +291,8 @@ def ebpps_sample_agg(
     from ..kernels.ebpps import ebpps_sample
 
     def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL item/weight rows: update no-op (see varopt_sample_agg)
+        pdf = pdf[pdf[item_col].notna() & pdf[weight_col].notna()]
         items = pdf[item_col].astype(str).to_numpy()
         w = pdf[weight_col].to_numpy(np.float64)
         idx = np.arange(len(items))

@@ -68,8 +68,8 @@ def ebpps_sample(
     Deterministic given seed (systematic offset from item hashes)."""
     items = np.asarray(items)
     weights = np.asarray(weights, dtype=np.float64)
-    if np.any(weights <= 0):
-        raise ValueError("weights must be positive")
+    if not np.all(weights > 0):  # also catches NaN (NaN > 0 is False)
+        raise ValueError("weights must be positive (and not NaN)")
     n = len(items)
     if n <= k:
         return items.copy(), 0.0

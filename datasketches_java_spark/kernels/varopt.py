@@ -55,8 +55,8 @@ def varopt_sample(
     (SURVEY.md §4 custom #3)."""
     items = np.asarray(items)
     weights = np.asarray(weights, dtype=np.float64)
-    if np.any(weights <= 0):
-        raise ValueError("weights must be positive")
+    if not np.all(weights > 0):  # also catches NaN (NaN > 0 is False)
+        raise ValueError("weights must be positive (and not NaN)")
     n = len(items)
     if n <= k:
         return items, weights.copy(), 0.0

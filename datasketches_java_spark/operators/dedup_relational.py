@@ -159,9 +159,13 @@ def ssjoin_jaccard_pairs(
     #    moved, scales to corpora whose docs can't sit on the driver.
     if bm is not None:
         return _verify_pairs_bitmap(cand, bm, t, id_type)
+    #    char_mode: the fallback must score the SAME char-window
+    #    shingles the candidate generator and oracle use (byte windows
+    #    diverge on non-ASCII text and drop empty docs)
     return exact_rescore_pairs(
         cand, ndocs, "id", "txt", k, t,
         normalize=False, id_type=id_type, broadcast_docs=True,
+        char_mode=True,
     )
 
 

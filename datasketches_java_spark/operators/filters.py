@@ -68,7 +68,10 @@ def bloom_might_contain(
     negatives — the exact confirm join downstream sees every true
     match, just ~fpp·|probe| extra rows)."""
     cols = probe.columns
-    with_k = probe.withColumn("__k", F.xxhash64(key_col))
+    kcol = "__k"
+    while kcol in cols:  # never clobber a caller's column
+        kcol += "_"
+    with_k = probe.withColumn(kcol, F.xxhash64(key_col))
 
     schema = ", ".join(f"`{c}` {probe.schema[c].dataType.simpleString()}"
                        for c in cols)
@@ -97,7 +100,7 @@ def bloom_might_contain(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ok = bf.query(pdf["__k"].to_numpy(np.int64).astype(np.uint64))
+            ok = bf.query(pdf[kcol].to_numpy(np.int64).astype(np.uint64))
             yield pdf.loc[ok, cols]
 
     return with_k.mapInPandas(gen, schema)
@@ -112,7 +115,10 @@ def countmin_counts(
     the broadcast final sketch. Items are hashed with xxhash64 JVM-side
     (typed canonicalization, SURVEY §1.2)."""
     keys = items.select(
-        F.col(item_col).alias("item"), F.xxhash64(item_col).alias("k")
+        # cast: the score stage's declared schema is `item string`, and
+        # the JVM xxhash64 canonicalizes the TYPED value for counting
+        F.col(item_col).cast("string").alias("item"),
+        F.xxhash64(item_col).alias("k"),
     )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -51,6 +51,34 @@ def _distinct_per_row(h: np.ndarray, rows: np.ndarray):
     return rs[first], hs[first]
 
 
+def _char_window_hashes(texts: pd.Series, k: int, seed: int = 9001):
+    """(hashes, rows) over CHARACTER k-windows with the JVM
+    char_shingles rule (functions/text.py:174): a row shorter than k
+    chars (including empty) contributes its whole string — so two
+    empty docs share the "" shingle, exactly like the SQL
+    substring/generate_series form and its DuckDB oracle twin. Used by
+    the ssjoin fallback so plan choice never changes results; the
+    corpus-pipeline lane keeps the byte-window kernel (its golden
+    builder uses the same byte windows)."""
+    from ..functions.sketch_udfs import _hash_strings
+
+    rows: list[int] = []
+    subs: list[str] = []
+    for i, t in enumerate(texts):
+        t = "" if t is None else str(t)
+        if len(t) <= k:
+            rows.append(i)
+            subs.append(t)
+            continue
+        ws = {t[j:j + k] for j in range(len(t) - k + 1)}
+        rows.extend([i] * len(ws))
+        subs.extend(ws)
+    h = _hash_strings(pd.Series(subs, dtype=object), seed)
+    r = np.asarray(rows, dtype=np.int64)
+    order = np.argsort(r, kind="stable")
+    return h[order], r[order]
+
+
 def exact_rescore_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -61,10 +89,17 @@ def exact_rescore_pairs(
     normalize: bool = True,
     id_type: str = "string",
     broadcast_docs: bool = False,
+    char_mode: bool = False,
 ) -> DataFrame:
     """pairs(id_a, id_b) × docs(id, text) → exact-Jaccard-scored
     pairs with jaccard_exact >= threshold. Ids are carried as
     `id_type` (callers with integral keys keep them integral).
+
+    `char_mode=True` shingles over CHARACTER windows with the JVM
+    char_shingles whole-short-string rule (the ssjoin lane's
+    semantics — byte windows diverge on non-ASCII text and drop
+    empty docs); default byte-window kernel is the corpus-pipeline
+    lane's contract.
 
     The two text joins shuffle only the found pairs plus the texts they
     touch; at web scale docs is bucketed by id so they co-locate
@@ -86,8 +121,12 @@ def exact_rescore_pairs(
                 continue
             a = normalize_captions(pdf["txt_a"]) if normalize else pdf["txt_a"].fillna("")
             b = normalize_captions(pdf["txt_b"]) if normalize else pdf["txt_b"].fillna("")
-            ha, ra = char_shingle_hashes(a, k)
-            hb, rb = char_shingle_hashes(b, k)
+            if char_mode:
+                ha, ra = _char_window_hashes(a, k)
+                hb, rb = _char_window_hashes(b, k)
+            else:
+                ha, ra = char_shingle_hashes(a, k)
+                hb, rb = char_shingle_hashes(b, k)
             ra, ha = _distinct_per_row(ha, ra)
             rb, hb = _distinct_per_row(hb, rb)
             na = np.bincount(ra, minlength=n).astype(np.int64)

@@ -138,3 +138,43 @@ def test_cosine_dup_pairs_matches_numpy_and_fallback(spark, smoke_sf_dir):
     finally:
         sim._matrix_fits = orig
     assert slow == expected
+
+
+def test_ssjoin_fallback_matches_bitmap_on_nonascii_and_empty(spark, monkeypatch):
+    """Plan choice must never change ssjoin results: the shuffled
+    rescore fallback scores CHARACTER windows with the JVM
+    whole-short-string rule (byte windows diverged on non-ASCII text
+    and dropped empty docs)."""
+    import pandas as pd
+
+    from datasketches_java_spark.operators import dedup_relational as dr
+
+    rows = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(8)],
+        "text": [
+            "héllo wörld ünïcode téxt hére",   # non-ASCII near-dups
+            "héllo wörld ünïcode téxt hére",
+            "", "",                              # two empty docs
+            "plain ascii text sample one",
+            "plain ascii text sample two",
+            "ab", "ab",                          # shorter than k
+        ],
+    })
+    df = spark.createDataFrame(rows)
+
+    def pairs():
+        out = dr.ssjoin_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+        got = {(r.id_a, r.id_b): round(r.jaccard_exact, 9)
+               for r in out.collect()}
+        dr.release_ssjoin_cache()
+        return got
+
+    fast = pairs()
+    # force the shuffled rescore fallback
+    monkeypatch.setattr(dr, "_PULL_BUDGET_BYTES", 0)
+    monkeypatch.setattr(dr, "_BITMAP_BUDGET_BYTES", 0)
+    slow = pairs()
+    assert fast == slow
+    assert ("d2", "d3") in fast      # empty docs share the "" shingle
+    assert ("d6", "d7") in fast      # whole-short-string rule
+    assert ("d0", "d1") in fast      # non-ASCII near-dup pair survives

@@ -252,3 +252,24 @@ def test_ks_pairwise_matches_exact_d(spark):
     cb = np.searchsorted(np.sort(vb), pts, side="right")
     num = int(np.abs(ca * len(vb) - cb * len(va)).max())
     assert (row["d_num"], row["d_den"]) == (num, len(va) * len(vb))
+
+
+def test_kmv_agg_null_semantics_and_int_groups(spark):
+    """NULL values are update no-ops (the reference's update(null)
+    rule, NOT an extra '' distinct); NULL groups survive like SQL
+    GROUP BY; integer group columns work (cast at entry)."""
+    import pandas as pd
+
+    from datasketches_java_spark.functions.sketch_udfs import kmv_distinct_agg
+
+    rows = pd.DataFrame({
+        "g": pd.array([1, 1, 1, 2, None, None], dtype="Int64"),
+        "v": ["a", "b", None, "", "x", None],
+    })
+    df = spark.createDataFrame(rows, "g long, v string")
+    out = kmv_distinct_agg(df, "g", "v", k=64).toPandas()
+    got = {r.g: r.distinct_est for r in out.itertuples()}
+    assert got["1"] == 2.0      # NULL value not counted
+    assert got["2"] == 1.0      # '' is a real value
+    null_keys = [k for k in got if k is None or (isinstance(k, float))]
+    assert len(out) == 3        # NULL group kept
