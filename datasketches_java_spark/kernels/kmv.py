@@ -43,11 +43,23 @@ def bottom_k_batch(
     if len(hashes) == 0:
         out0 = [np.empty(0, dt)] * n_rows
         return (out0, counts) if return_counts else out0
-    order = np.lexsort((hashes, rows))
-    h, r = hashes[order], rows[order]
-    # drop duplicate (row, hash) pairs
-    keep = np.ones(len(h), dtype=bool)
-    keep[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
+    if dt == np.int32 and n_rows < (1 << 32):
+        # 31-bit narrow lane: one composite direct sort — (row << 31)|h
+        # fits int64 — replaces lexsort's two indirect argsort passes
+        comp = (
+            np.asarray(rows, dtype=np.uint64) << np.uint64(31)
+        ) | hashes.astype(np.uint64)
+        comp.sort()
+        h = (comp & np.uint64(0x7FFFFFFF)).astype(np.int32)
+        r = (comp >> np.uint64(31)).astype(np.int64)
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = comp[1:] != comp[:-1]
+    else:
+        order = np.lexsort((hashes, rows))
+        h, r = hashes[order], rows[order]
+        # drop duplicate (row, hash) pairs
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
     h, r = h[keep], r[keep]
     # rank within row
     row_start = np.ones(len(r), dtype=bool)
@@ -67,6 +79,53 @@ def bottom_k_batch(
         for row_id, piece in zip(r[np.append(0, bounds).astype(np.int64)], pieces):
             out[int(row_id)] = piece
     return (out, counts) if return_counts else out
+
+
+def bottom_k_flat(
+    hashes: np.ndarray, rows: np.ndarray, n_rows: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat-form twin of bottom_k_batch for the signature stage:
+    returns (flat_values, lens int64[n_rows], counts int32[n_rows])
+    where flat_values holds every row's sorted bottom-k back to back —
+    the exact byte stream the wire format needs, with no per-row
+    array objects built and re-concatenated in between."""
+    counts = np.zeros(n_rows, dtype=np.int32)
+    lens = np.zeros(n_rows, dtype=np.int64)
+    hashes = np.asarray(hashes)
+    dt = hashes.dtype if len(hashes) else np.int64
+    if len(hashes) == 0:
+        return np.empty(0, dt), lens, counts
+    if dt == np.int32 and n_rows < (1 << 32):
+        comp = (
+            np.asarray(rows, dtype=np.uint64) << np.uint64(31)
+        ) | hashes.astype(np.uint64)
+        comp.sort()
+        keep = np.ones(len(comp), dtype=bool)
+        keep[1:] = comp[1:] != comp[:-1]
+        comp = comp[keep]
+        h = (comp & np.uint64(0x7FFFFFFF)).astype(np.int32)
+        r = (comp >> np.uint64(31)).astype(np.int64)
+    else:
+        order = np.lexsort((hashes, rows))
+        h, r = hashes[order], np.asarray(rows, dtype=np.int64)[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
+        h, r = h[keep], r[keep]
+    row_start = np.ones(len(r), dtype=bool)
+    row_start[1:] = r[1:] != r[:-1]
+    start_idx = np.nonzero(row_start)[0]
+    seg_len = np.diff(np.append(start_idx, len(r)))
+    counts[r[start_idx]] = seg_len.astype(np.int32)
+    rank = np.arange(len(r)) - np.repeat(start_idx, seg_len)
+    sel = rank < k
+    h, r = h[sel], r[sel]
+    if len(r):
+        row_start2 = np.ones(len(r), dtype=bool)
+        row_start2[1:] = r[1:] != r[:-1]
+        s2 = np.nonzero(row_start2)[0]
+        l2 = np.diff(np.append(s2, len(r)))
+        lens[r[s2]] = l2
+    return h, lens, counts
 
 
 def bottom_k(hashes: np.ndarray, k: int) -> np.ndarray:
@@ -219,36 +278,78 @@ def jaccard_bounds_batch(
     if n == 0:
         z = np.empty(0, np.float64)
         return z, z.copy(), z.copy()
+    vals_a = np.concatenate(
+        [np.asarray(s) for s in sigs_a] or [np.empty(0, np.int64)]
+    )
+    vals_b = np.concatenate(
+        [np.asarray(s) for s in sigs_b] or [np.empty(0, np.int64)]
+    )
     la = np.fromiter((len(s) for s in sigs_a), np.int64, n)
     lb_ = np.fromiter((len(s) for s in sigs_b), np.int64, n)
-    theta_a = np.fromiter(
-        (s[k - 1] if len(s) >= k else THETA_MAX for s in sigs_a), np.int64, n
-    )
-    theta_b = np.fromiter(
-        (s[k - 1] if len(s) >= k else THETA_MAX for s in sigs_b), np.int64, n
-    )
-    theta = np.minimum(theta_a, theta_b)
+    return jaccard_bounds_flat(vals_a, la, vals_b, lb_, k, num_std_dev)
+
+
+def jaccard_bounds_flat(
+    vals_a: np.ndarray, la: np.ndarray,
+    vals_b: np.ndarray, lb_: np.ndarray,
+    k: int, num_std_dev: float = 2.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat-form core of jaccard_bounds_batch: signatures arrive as two
+    back-to-back value arrays + per-pair lengths (exactly the layout of
+    an Arrow binary column), so the Arrow verify path feeds buffers in
+    with zero per-row Python. Pair membership of a value is positional;
+    a/b interleaving is irrelevant because everything downstream keys
+    on (pair, value)."""
+    n = len(la)
+    if n == 0:
+        z = np.empty(0, np.float64)
+        return z, z.copy(), z.copy()
+    def _theta_side(vals_s: np.ndarray, lens_s: np.ndarray) -> np.ndarray:
+        # θ = k-th smallest of a saturated signature (value at offset
+        # start+k-1), else THETA_MAX; the gather index is clipped so the
+        # unsaturated branch never reads out of range
+        if len(vals_s) == 0:
+            return np.full(n, THETA_MAX, dtype=np.int64)
+        starts = np.cumsum(lens_s) - lens_s
+        idx = np.minimum(starts + k - 1, len(vals_s) - 1)
+        return np.where(
+            lens_s >= k, vals_s[idx].astype(np.int64), THETA_MAX
+        )
+
+    theta = np.minimum(_theta_side(vals_a, la), _theta_side(vals_b, lb_))
 
     # dtype-preserving: int32 truncated signatures (the pipeline's wire
     # format, operators/signatures.py) stay int32 through concat/sort —
     # halves the memory traffic of the verification hot path
-    vals = np.concatenate(
-        [np.asarray(s) for pair in zip(sigs_a, sigs_b) for s in pair]
-        or [np.empty(0, np.int64)]
-    )
+    vals = np.concatenate([vals_a, vals_b]) if len(vals_a) or len(vals_b) \
+        else np.empty(0, np.int64)
     if vals.dtype != np.int64:
         # clip the "no threshold" sentinel into the value dtype; all
         # retained values fit by construction so semantics are unchanged
         theta = np.minimum(theta, np.iinfo(vals.dtype).max).astype(vals.dtype)
-    lens = np.empty(2 * n, np.int64)
-    lens[0::2] = la
-    lens[1::2] = lb_
-    pair_idx = np.repeat(np.arange(n, dtype=np.int64), la + lb_)
+    pair_idx = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), la),
+        np.repeat(np.arange(n, dtype=np.int64), lb_),
+    ])
 
     keep = vals <= theta[pair_idx]
     vals, pair_idx = vals[keep], pair_idx[keep]
-    order = np.lexsort((vals, pair_idx))
-    v, p = vals[order], pair_idx[order]
+    if (
+        vals.dtype == np.int32 and n < (1 << 32)
+        and (len(vals) == 0 or int(vals.min()) >= 0)
+    ):
+        # composite single-key sort ((pair << 31) | value): one direct
+        # np.sort instead of lexsort's two indirect argsort passes —
+        # the hottest sort of the verify stage
+        comp = (
+            pair_idx.astype(np.uint64) << np.uint64(31)
+        ) | vals.astype(np.uint64)
+        comp.sort()
+        v = (comp & np.uint64(0x7FFFFFFF)).astype(np.int32)
+        p = (comp >> np.uint64(31)).astype(np.int64)
+    else:
+        order = np.lexsort((vals, pair_idx))
+        v, p = vals[order], pair_idx[order]
 
     # a value appearing twice within a pair is in both signatures
     dup_next = np.zeros(len(v), dtype=bool)

@@ -57,8 +57,18 @@ def oph_signature_matrix(
         h = hashes.astype(udt)
         bins = (h >> shift).astype(np.int64)
         key = np.asarray(rows, dtype=np.int64) * n_bins + bins
-        order = np.lexsort((h, key))
-        key_s, h_s = key[order], h[order]
+        if narrow and n_rows * n_bins < (1 << 32):
+            # composite single-key sort: (cell index << 31) | hash fits
+            # in int64 for the 31-bit narrow lane — one direct np.sort
+            # instead of lexsort's two indirect argsort passes (the
+            # hottest sort of the signature stage)
+            comp = (key.astype(np.uint64) << np.uint64(31)) | h.astype(np.uint64)
+            comp.sort()
+            key_s = (comp >> np.uint64(31)).astype(np.int64)
+            h_s = (comp & np.uint64(0x7FFFFFFF)).astype(udt)
+        else:
+            order = np.lexsort((h, key))
+            key_s, h_s = key[order], h[order]
         first = np.ones(len(key_s), dtype=bool)
         first[1:] = key_s[1:] != key_s[:-1]
         mat.reshape(-1)[key_s[first]] = h_s[first]
@@ -92,35 +102,54 @@ def _densify(mat: np.ndarray, n_bins: int, seed: int, max_attempts: int = 64) ->
         return
     probes = _probe_targets(n_bins, seed, max_attempts)
     # work only on the flat indices of still-empty cells; the active
-    # set shrinks geometrically (expected attempts ≈ 1/fill-fraction)
-    empty_idx = np.nonzero(~filled0_flat)[0]
-    rows_e = empty_idx // n_bins
-    bins_e = (empty_idx % n_bins).astype(np.int64)
+    # set shrinks geometrically (expected attempts ≈ 1/fill-fraction).
+    # int32 index arrays (cell count < 2^31 per batch by construction)
+    # halve the memory traffic of every gather below.
+    empty_idx = np.nonzero(~filled0_flat)[0].astype(np.int32)
+    row_base = (empty_idx - empty_idx % n_bins).astype(np.int32)
+    bins_e = (empty_idx % n_bins).astype(np.int32)
     # reads gather only from originally-filled cells and writes go only
     # to originally-empty cells, so flat can serve as its own source
     src_snapshot = flat
-    for t in range(max_attempts):
+    probes32 = probes.astype(np.int32)
+    # attempts in blocks of 4: one boolean compaction per block instead
+    # of per attempt (the compactions, not the gathers, dominated the
+    # per-attempt loop); within a block the FIRST hit wins, preserving
+    # the per-attempt priority exactly
+    for t0 in range(0, max_attempts, 4):
         if len(empty_idx) == 0:
             break
-        tgt = probes[t][bins_e]
-        src = rows_e * n_bins + tgt
-        hit = filled0_flat[src]
-        if hit.any():
-            flat[empty_idx[hit]] = src_snapshot[src[hit]]
-            keep = ~hit
-            empty_idx, rows_e, bins_e = empty_idx[keep], rows_e[keep], bins_e[keep]
+        srcs = []
+        hits = []
+        for t in range(t0, min(t0 + 4, max_attempts)):
+            src = row_base + probes32[t][bins_e]
+            srcs.append(src)
+            hits.append(filled0_flat[src])
+        resolved = hits[0].copy()
+        sel_src = np.where(hits[0], srcs[0], np.int32(0))
+        for j in range(1, len(hits)):
+            newly = hits[j] & ~resolved
+            if newly.any():
+                sel_src = np.where(newly, srcs[j], sel_src)
+                resolved |= newly
+        if resolved.any():
+            flat[empty_idx[resolved]] = src_snapshot[sel_src[resolved]]
+            keep = ~resolved
+            empty_idx = empty_idx[keep]
+            row_base = row_base[keep]
+            bins_e = bins_e[keep]
     if len(empty_idx):  # degenerate near-empty rows: circular fallback
         for step in range(1, n_bins):
             if len(empty_idx) == 0:
                 break
             tgt = (bins_e + step) % n_bins
-            src = rows_e * n_bins + tgt
+            src = row_base + tgt
             hit = filled0_flat[src]
             if hit.any():
                 flat[empty_idx[hit]] = src_snapshot[src[hit]]
                 keep = ~hit
-                empty_idx, rows_e, bins_e = (
-                    empty_idx[keep], rows_e[keep], bins_e[keep],
+                empty_idx, row_base, bins_e = (
+                    empty_idx[keep], row_base[keep], bins_e[keep],
                 )
 
 

@@ -24,7 +24,27 @@ def normalize_captions(captions: pd.Series) -> pd.Series:
 
 
 def _flatten_utf8(strings: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Concatenate UTF-8 bytes of N strings → (data, starts, lens)."""
+    """Concatenate UTF-8 bytes of N strings → (data, starts, lens).
+
+    Fast path: one pyarrow conversion — the Arrow string array IS the
+    flat utf-8 buffer + offsets, built in C (~5x the pandas per-row
+    encode+join). Falls back to the pandas path on exotic inputs."""
+    try:
+        import pyarrow as pa
+
+        arr = pa.array(strings, type=pa.large_utf8(), from_pandas=True)
+        if arr.null_count == 0 and arr.offset == 0:
+            bufs = arr.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64)[: len(arr) + 1]
+            total = int(offsets[-1])
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)[:total]
+                if bufs[2] is not None
+                else np.empty(0, np.uint8)
+            )
+            return data, offsets[:-1].copy(), np.diff(offsets)
+    except Exception:  # exotic inputs (mixed dtypes): pandas fallback
+        pass
     encoded = strings.str.encode("utf-8")
     lens = encoded.str.len().to_numpy(dtype=np.int64)
     data = np.frombuffer(b"".join(encoded.tolist()), dtype=np.uint8)
@@ -51,16 +71,30 @@ def char_shingle_hashes(
     UTF-8 encoding (k <= 8 packs a window into one uint64 before
     hashing).
     """
+    n = len(captions)
+    if n == 0:
+        dt = np.int64 if bits == 63 else np.int32
+        return np.empty(0, dt), np.empty(0, np.int64)
+    data, starts, lens = _flatten_utf8(captions)
+    return char_shingle_hashes_flat(data, starts, lens, k, seed, bits)
+
+
+def char_shingle_hashes_flat(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+    k: int = 5, seed: int = 9001, bits: int = 63,
+) -> tuple[np.ndarray, np.ndarray]:
+    """char_shingle_hashes over a pre-flattened utf-8 buffer (the
+    signature stage flattens once and shares the buffer with the token
+    path)."""
     if k > 8:
         raise ValueError("char_shingle_hashes supports k <= 8 (packed uint64)")
     if bits not in (31, 63):
         raise ValueError("bits must be 31 or 63")
     dt = np.int64 if bits == 63 else np.int32
     shift = np.uint64(64 - bits)
-    n = len(captions)
+    n = len(starts)
     if n == 0:
         return np.empty(0, dt), np.empty(0, np.int64)
-    data, starts, lens = _flatten_utf8(captions)
     total = len(data)
     row_of_pos = np.repeat(np.arange(n, dtype=np.int64), lens)
 
@@ -109,6 +143,37 @@ def token_hashes(
         return np.empty(0, np.uint64), rows
     data, starts, lens = _flatten_utf8(pd.Series(flat))
     return hash_bytes_batch(data, starts, lens, seed), rows
+
+
+def token_hashes_spacesep(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: int = 9001
+) -> tuple[np.ndarray, np.ndarray]:
+    """token_hashes over a pre-flattened utf-8 buffer whose rows are
+    ALREADY whitespace-normalized (single 0x20 separators, stripped —
+    normalize_captions' postcondition, so a 0x20 scan and str.split()
+    agree exactly; multibyte UTF-8 never contains 0x20). Skips the
+    per-row Python split + re-encode of the generic path."""
+    n = len(starts)
+    total = len(data)
+    if n == 0 or total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    is_sep = data == np.uint8(0x20)
+    prev_sep = np.empty(total, dtype=bool)
+    prev_sep[0] = True
+    prev_sep[1:] = is_sep[:-1]
+    prev_sep[starts[lens > 0]] = True  # a row start begins a token
+    tok_start = np.flatnonzero((~is_sep) & prev_sep)
+    next_sep = np.empty(total, dtype=bool)
+    next_sep[-1] = True
+    next_sep[:-1] = is_sep[1:]
+    row_last = starts + lens - 1
+    next_sep[row_last[lens > 0]] = True  # a row end terminates a token
+    tok_end = np.flatnonzero((~is_sep) & next_sep)
+    tok_lens = tok_end - tok_start + 1
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)[tok_start]
+    from .hashing import hash_bytes_batch as _hbb
+
+    return _hbb(data, tok_start, tok_lens, seed), rows
 
 
 def ngram_token_hashes(

@@ -145,12 +145,17 @@ def _pair_gen(cfg: DedupConfig):
             return
         # local dedup before the global distinct: the same (a, b) pair
         # re-emitted by several band keys of one partition collapses
-        # here in one vectorized pass, shrinking the distinct shuffle
-        pairs = np.empty(len(out), dtype=[("a", "<i8"), ("b", "<i8")])
-        pairs["a"] = out["id_a"].to_numpy(np.int64)
-        pairs["b"] = out["id_b"].to_numpy(np.int64)
-        uniq = np.unique(pairs)
-        yield pd.DataFrame({"id_a": uniq["a"], "id_b": uniq["b"]})
+        # here in one vectorized pass, shrinking the distinct shuffle.
+        # lexsort + boundary mask instead of a structured-dtype
+        # np.unique: the void16 comparator is ~4x slower than two
+        # int64 sort passes
+        a = out["id_a"].to_numpy(np.int64)
+        b = out["id_b"].to_numpy(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        yield pd.DataFrame({"id_a": a[first], "id_b": b[first]})
 
     return gen
 

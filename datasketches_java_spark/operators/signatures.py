@@ -38,7 +38,12 @@ from ..config import DedupConfig, FROZEN
 from ..kernels import kmv
 from ..kernels.hashing import mix64, seed_mix
 from ..kernels.minhash import band_hashes, oph_signature_matrix
-from ..kernels.shingle import char_shingle_hashes, normalize_captions, token_hashes
+from ..kernels.shingle import (
+    _flatten_utf8,
+    char_shingle_hashes_flat,
+    normalize_captions,
+    token_hashes_spacesep,
+)
 from ..kernels.simhash import simhash_batch
 
 SIG_SCHEMA = (
@@ -124,25 +129,26 @@ def _signature_batches(cfg: DedupConfig):
             if n == 0:
                 continue
             norm = normalize_captions(pdf["caption"])
+            # flatten once; the shingle and token paths share the buffer
+            data, starts, slens = _flatten_utf8(norm)
             # 31-bit narrow lane: every downstream sort/sketch moves
             # half the bytes (see char_shingle_hashes docstring)
-            h, rows = char_shingle_hashes(norm, cfg.shingle_k, cfg.seed, bits=31)
-
-            kmv_sigs, n_shingles = kmv.bottom_k_batch(
-                h, rows, n, cfg.kmv_k, return_counts=True
+            h, rows = char_shingle_hashes_flat(
+                data, starts, slens, cfg.shingle_k, cfg.seed, bits=31
             )
+
+            flat, lens, n_shingles = kmv.bottom_k_flat(h, rows, n, cfg.kmv_k)
             # wire format: little-endian int32 bytes — Arrow moves one
             # flat buffer per row instead of a list column. One batch
             # tobytes + per-row buffer slices: a bytes slice is a bare
             # memcpy, vs per-row numpy astype+tobytes dispatch.
-            lens = np.fromiter((len(s) for s in kmv_sigs), np.int64, count=n)
-            flat = (
-                np.concatenate(kmv_sigs) if lens.sum() else np.empty(0, np.int32)
-            )
             buf = flat.astype("<i4", copy=False).tobytes()
-            ends = 4 * np.cumsum(lens)
-            starts = ends - 4 * lens
-            sig32 = [buf[a:b] for a, b in zip(starts.tolist(), ends.tolist())]
+            byte_ends = 4 * np.cumsum(lens)
+            byte_starts = byte_ends - 4 * lens
+            sig32 = [
+                buf[a:b]
+                for a, b in zip(byte_starts.tolist(), byte_ends.tolist())
+            ]
 
             mat, nonempty = oph_signature_matrix(h, rows, n, cfg.minhash_n, cfg.seed)
             cap_bands = (
@@ -162,7 +168,7 @@ def _signature_batches(cfg: DedupConfig):
             else:  # text-only tables: no image channel
                 ph_bands = np.empty((n, 0), dtype=np.int32)
 
-            th, trows = token_hashes(norm, cfg.seed)
+            th, trows = token_hashes_spacesep(data, starts, slens, cfg.seed)
             sh = simhash_batch(th, trows, n)
             n_tokens = (
                 np.bincount(trows, minlength=n).astype(np.int32)

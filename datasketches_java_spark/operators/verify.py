@@ -31,49 +31,83 @@ VERIFY_SCHEMA = (
 )
 
 
-def _verify_batches(cfg: DedupConfig):
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
+def _binary_flat(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(int32 values back-to-back, per-row int64 lengths) of an Arrow
+    binary column holding the little-endian int32 sig wire format —
+    zero per-row Python: the Arrow data buffer IS the flat value array
+    and the offsets ARE the lengths."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("sig column must not contain nulls")
+    off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    vals = np.frombuffer(bufs[2], dtype="<i4") if bufs[2] is not None \
+        else np.empty(0, "<i4")
+    return (
+        vals[offsets[0] // 4 : offsets[-1] // 4],
+        np.diff(offsets) // 4,
+    )
+
+
+def _verify_arrow(cfg: DedupConfig):
+    """mapInArrow verifier: the joined rows' dominant payload is the
+    two sig binary columns; reading them straight from the Arrow
+    buffers avoids materializing per-row Python bytes objects (the
+    pandas transport's copy) AND feeds kmv.jaccard_bounds_flat with no
+    per-row work at all (guide §4.2)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            # sig wire format: little-endian int32 bytes (zero-copy views)
-            sig_a = [np.frombuffer(s, dtype="<i4") for s in pdf["sig_a"]]
-            sig_b = [np.frombuffer(s, dtype="<i4") for s in pdf["sig_b"]]
-            lb, est, ub = kmv.jaccard_bounds_batch(sig_a, sig_b, cfg.kmv_k, 2.0)
+            vals_a, la = _binary_flat(batch.column("sig_a"))
+            vals_b, lb_ = _binary_flat(batch.column("sig_b"))
+            lb, est, ub = kmv.jaccard_bounds_flat(
+                vals_a, la, vals_b, lb_, cfg.kmv_k, 2.0
+            )
             # empty-caption rule (matches the golden oracle: empty text
             # yields no shingles and therefore no pairs): a pair where
             # EITHER caption produced no shingles can never match on a
             # text channel — the theta convention "two empties are
             # exactly equal" (J=1) and simhash(0)==simhash(0) would
             # otherwise mark caption-less images as caption duplicates.
-            text_ok = np.array(
-                [len(a) > 0 and len(b) > 0 for a, b in zip(sig_a, sig_b)],
-                dtype=bool,
-            )
-            sh = hamming64(
-                pdf["sim_a"].to_numpy(np.int64), pdf["sim_b"].to_numpy(np.int64)
-            )
-            ph = hamming64(
-                pdf["ph_a"].to_numpy(np.int64), pdf["ph_b"].to_numpy(np.int64)
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"],
-                    "id_b": pdf["id_b"],
-                    "jaccard_est": est,
-                    "jaccard_lb": lb,
-                    "jaccard_ub": ub,
-                    "simhash_hamming": sh.astype(np.int32),
-                    "phash_hamming": ph.astype(np.int32),
-                    "match_caption": (est >= cfg.jaccard_verify) & text_ok,
-                    "match_simhash": (sh <= cfg.simhash_max_hamming) & text_ok,
-                    "match_phash": (
+            text_ok = (la > 0) & (lb_ > 0)
+            sim_a = batch.column("sim_a").to_numpy()
+            sim_b = batch.column("sim_b").to_numpy()
+            ph_a = batch.column("ph_a").to_numpy()
+            ph_b = batch.column("ph_b").to_numpy()
+            sh = hamming64(sim_a, sim_b)
+            ph = hamming64(ph_a, ph_b)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("id_a"),
+                    batch.column("id_b"),
+                    pa.array(est, type=pa.float64()),
+                    pa.array(lb, type=pa.float64()),
+                    pa.array(ub, type=pa.float64()),
+                    pa.array(sh.astype(np.int32), type=pa.int32()),
+                    pa.array(ph.astype(np.int32), type=pa.int32()),
+                    pa.array((est >= cfg.jaccard_verify) & text_ok),
+                    pa.array((sh <= cfg.simhash_max_hamming) & text_ok),
+                    pa.array(
                         ph <= cfg.phash_max_hamming
                         if cfg.phash_max_hamming >= 0
                         else np.zeros(n, dtype=bool)
                     ),
-                }
+                ],
+                names=[
+                    "id_a", "id_b", "jaccard_est", "jaccard_lb",
+                    "jaccard_ub", "simhash_hamming", "phash_hamming",
+                    "match_caption", "match_simhash", "match_phash",
+                ],
             )
 
     return gen
@@ -97,7 +131,7 @@ def verify_pairs(
         F.col("phash").alias("ph_b"),
     )
     joined = candidates.join(sa, "id_a").join(sb, "id_b")
-    scored = joined.mapInPandas(_verify_batches(cfg), VERIFY_SCHEMA)
+    scored = joined.mapInArrow(_verify_arrow(cfg), VERIFY_SCHEMA)
     return scored.filter(
         F.col("match_caption") | F.col("match_simhash") | F.col("match_phash")
     )
