@@ -489,12 +489,22 @@ def from_ref_updatable_bytes(buf: bytes, summary: str = "double") -> LegacyTuple
     flags = buf[4]
     empty = bool(flags & 4)
     off = 8
+    sampling_p = None
     if flags & 2:  # IS_IN_SAMPLING_MODE
-        off += 4   # samplingProbability float (folds into theta below)
+        sampling_p = float(
+            np.frombuffer(buf[off:off + 4], dtype="<f4")[0]
+        )
+        off += 4
     theta = _LONG_MAX
     if flags & 16:  # IS_THETA_INCLUDED
         theta = int(np.frombuffer(buf[off:off + 8], dtype="<i8")[0])
         off += 8
+    elif sampling_p is not None:
+        # sampling-mode QS image with theta == p·LONG_MAX elides the
+        # theta long; the reference reconstructs it from the stored
+        # float (QuickSelectSketch.java deserialization:
+        # thetaLong = (long)(Long.MAX_VALUE * samplingProbability))
+        theta = int(_LONG_MAX * sampling_p)
     count = 0
     if flags & 8:  # HAS_ENTRIES
         count = int(np.frombuffer(buf[off:off + 4], dtype="<i4")[0])

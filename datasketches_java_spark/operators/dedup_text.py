@@ -70,11 +70,22 @@ def simhash60_sigs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     form), and the 60 vote sums partially aggregate map-side, so the
     groupBy shuffle carries |docs| rows of 61 ints — not |tokens|
     rows."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
+    from ..session import plan_width
+
+    # Re-spread the slim (id, text) projection across all cores BEFORE
+    # the token explode + per-token md5 (guide §2.5 "input skew: one
+    # unsplittable file"): a single-file table otherwise runs the
+    # whole map stage on one task (same fix ssjoin_jaccard_pairs and
+    # compute_signatures already apply). A few MB of text moves; the
+    # CPU-bound hashing then runs at full width.
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).repartition(plan_width(df.sparkSession))
+    toks = slim.select(
+        "id",
         F.explode(
             F.array_distinct(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                F.split(F.trim(F.lower(F.col("__t"))), r"\s+")
             )
         ).alias("t"),
     ).withColumn(
@@ -167,26 +178,65 @@ def substring_dup_pairs(
     Returns (id_a, id_b, n_shared) with id_a < id_b; n_shared counts
     DISTINCT length-`min_len` windows the two documents share.
 
-    Plan: explode each document's distinct character windows, ONE
-    shuffle on the window key (groupBy + group pair-decode, not a
-    two-sided self-join: each window string crosses the wire once and
-    the window explode runs once, vs twice each for the a/b join —
-    equal wall on this single-node memory-bus-bound sandbox at sf0.1,
-    ~2x less exchange volume on a real cluster), decode each window
-    group into its doc pairs JVM-side, aggregate pair counts. Exact by
-    construction (the group key IS the substring). Scale shape: window
-    count is O(total chars); at the 100 TB tier the production
-    variant keys the shuffle on a Rabin-Karp/xxhash64 of the window
-    (int64-only exchange, ids join back for the verify) — the corpus
-    pipeline's shingle lane (operators/signatures.py) is that shape;
-    here the string key keeps the operator oracle-transparent, and
-    equality-verify comes free.
+    Plan (round 6, the int64-keyed form the round-5 docstring
+    promised): pass A explodes each document's distinct windows as
+    xxhash64 keys — the big shuffle moves (int64, int64) rows only,
+    never 24-char strings — and groups them to find CANDIDATE docs
+    (any window shared by >=2 docs). Collisions only add candidates,
+    never lose one. Pass B re-runs the original exact string-keyed
+    group/pair-decode plan restricted to candidate docs (a broadcast
+    semi-join; candidates are a tiny fraction of the corpus), so the
+    result is exact by construction (the group key IS the substring)
+    while the corpus-sized exchange is fixed-width. Scale shape:
+    window count is O(total chars); the string pass is O(candidate
+    chars) only.
     """
-    subs = df.filter(F.length(text_col) >= min_len).selectExpr(
-        f"{id_col} AS id",
-        f"explode(array_distinct(transform("
-        f"  sequence(1, length({text_col}) - {min_len - 1}),"
-        f"  i -> substring({text_col}, i, {min_len})))) AS sub",
+    from ..session import plan_width
+
+    par = plan_width(df.sparkSession)
+    base = (
+        df.filter(F.length(text_col) >= min_len)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        # re-spread the slim projection before the O(chars·L) window
+        # explode — a single-file table otherwise generates every
+        # window on one task (guide §2.5; ssjoin precedent)
+        .repartition(par)
+    )
+
+    def _windows(value_expr: str, alias: str):
+        return base.selectExpr(
+            "id",
+            f"explode(array_distinct(transform("
+            f"  sequence(1, length(__t) - {min_len - 1}),"
+            f"  i -> {value_expr}))) AS {alias}",
+        )
+
+    # Pass A — candidate discovery on an INT64-only exchange (guide
+    # §2.3 "shuffle keys instead of payloads"): windows travel as
+    # xxhash64 keys, not 24-char strings. Hash collisions can only ADD
+    # candidate docs (a shared true window always lands both docs in
+    # one group), so the pass is a lossless candidate generator; the
+    # exact string pass below restores exactness regardless.
+    cand = (
+        _windows(f"xxhash64(substring(__t, i, {min_len}))", "h")
+        .groupBy("h")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id"))
+        .distinct()
+    )
+
+    # Pass B — the original exact string-keyed plan, restricted to the
+    # few candidate docs (the group key IS the substring, so equality-
+    # verify comes free and the result is exact by construction).
+    subs = (
+        base.join(F.broadcast(cand), "id")
+        .selectExpr(
+            "id",
+            f"explode(array_distinct(transform("
+            f"  sequence(1, length(__t) - {min_len - 1}),"
+            f"  i -> substring(__t, i, {min_len})))) AS sub",
+        )
     )
     groups = (
         subs.groupBy("sub")

@@ -99,6 +99,56 @@ def _collect_quantized(df: DataFrame, id_col: str, vec_col: str):
     return ids[order], M[order]
 
 
+# hard row cap for the single-pass collect below: the most rows that
+# could possibly fit the byte budget at the narrowest realistic d=1
+_MATRIX_MAX_ROWS = _MATRIX_BUDGET_BYTES // 16
+
+
+def _collect_quantized_checked(
+    df: DataFrame, id_col: str, vec_col: str, exact_bits: int
+):
+    """ONE Spark job replacing the former _matrix_fits + collect pair
+    (guide §1/§5: the fits-stats aggregate and the broadcast collect
+    each cost a full scheduled job; at plan-construction time they ran
+    back to back). Collects the quantized table (row-capped; a
+    too-big result raises through spark.driver.maxResultSize and falls
+    back), derives n/d/max_q from the collected frame — max over
+    per-element round() equals round() of the max since round is
+    monotone, so the exactness check is the SAME predicate
+    _matrix_fits evaluates — and returns (ids sorted, int64 matrix),
+    or None when the broadcast budget (or the id-dtype contract) says
+    the caller must use its over-budget fallback plan. Raises the
+    identical integer-exactness ValueError _matrix_fits raises; both
+    paths compute the same result, so the fallback choice never
+    changes the output."""
+    if dict(df.dtypes)[id_col] not in ("bigint", "int"):
+        return None  # matmul path packs ids as int64
+    try:
+        pdf = _quantized(df, id_col, vec_col) \
+            .limit(_MATRIX_MAX_ROWS + 1).toPandas()
+    except Exception:
+        return None  # driver.maxResultSize guard tripped: over budget
+    n = len(pdf)
+    if n == 0 or n > _MATRIX_MAX_ROWS:
+        return None
+    qcol = pdf["q"].to_numpy()
+    d = max((len(v) for v in qcol), default=0)
+    max_q = int(max((int(np.max(np.abs(v))) for v in qcol if len(v)),
+                    default=0)) + 1
+    if n and d and d * max_q * max_q >= (1 << exact_bits):
+        raise ValueError(
+            f"integer-exact quantized scores need d*max_q^2 < 2^{exact_bits} "
+            f"(d={d}, max|component|~{(max_q - 1) / QUANT:.3g} -> "
+            f"max_q={max_q}); rescale the embeddings or lower QUANT"
+        )
+    if not (0 < n * d * 8 + n * 8 <= _MATRIX_BUDGET_BYTES):
+        return None
+    ids = pdf["id"].to_numpy(np.int64)
+    M = np.stack(qcol).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], M[order]
+
+
 def _topk_scored_batches(bc, topk: int, score_fn, id_dtype):
     """mapInPandas generator: score each query batch against the
     broadcast matrix, emit per-query top-k. Ties break on neighbor_id
@@ -135,11 +185,13 @@ def _topk_scored_batches(bc, topk: int, score_fn, id_dtype):
 
 
 def _topk_broadcast(
-    df: DataFrame, id_col: str, vec_col: str, topk: int, score_fn, score_name: str
+    df: DataFrame, id_col: str, vec_col: str, topk: int, score_fn,
+    score_name: str, mat=None,
 ) -> DataFrame:
     from ._bc import register
 
-    ids, M = _collect_quantized(df, id_col, vec_col)
+    ids, M = mat if mat is not None else \
+        _collect_quantized(df, id_col, vec_col)
     sc = df.sparkSession.sparkContext
     bc = register(f"topk_matrix_{score_name}", sc.broadcast((ids, M)))
     id_type = dict(df.dtypes)[id_col]
@@ -177,10 +229,15 @@ def brute_force_topk_ip(
 
     Broadcast-matmul plan when the matrix fits (one scan, no shuffle);
     crossJoin+window fallback above the budget. EAGER: the plan choice
-    runs a count at construction time."""
-    if _matrix_fits(df, id_col, vec_col, exact_bits=62):
-        return _topk_broadcast(df, id_col, vec_col, topk, _ip_scores, "dot_q") \
+    collects the broadcast matrix (one job — stats derive from the
+    collected frame, see _collect_quantized_checked) at construction
+    time."""
+    mat = _collect_quantized_checked(df, id_col, vec_col, exact_bits=62)
+    if mat is not None:
+        return _topk_broadcast(df, id_col, vec_col, topk, _ip_scores,
+                               "dot_q", mat=mat) \
             .select("vec_id", "neighbor_id", "dot_q", "rank")
+    _matrix_fits(df, id_col, vec_col, exact_bits=62)  # exactness raise
     qa = _quantized(df, id_col, vec_col).select(
         F.col("id").alias("vec_id"), F.col("q").alias("qa")
     )
@@ -292,10 +349,12 @@ def brute_force_topk_cosine_q(
     (tightened from the round-3 left-fold formulation). Ties break on
     neighbor_id. Broadcast-matmul plan under the budget, crossJoin
     fallback above it."""
-    if _matrix_fits(df, id_col, vec_col):
+    mat = _collect_quantized_checked(df, id_col, vec_col, exact_bits=53)
+    if mat is not None:
         return _topk_broadcast(
-            df, id_col, vec_col, topk, _cos_q_scores, "cos_q"
+            df, id_col, vec_col, topk, _cos_q_scores, "cos_q", mat=mat
         ).select("vec_id", "neighbor_id", "cos_q", "rank")
+    _matrix_fits(df, id_col, vec_col)  # exactness raise on bad data
     qa = _quantized(df, id_col, vec_col).select(
         F.col("id").alias("vec_id"), F.col("q").alias("qa")
     )
@@ -374,10 +433,11 @@ def cosine_dup_pairs(
     bucketing + this same exact rescore within buckets.
     """
     thr_q = int(round(threshold * COS_QUANT))
-    if _matrix_fits(df, id_col, vec_col):
+    mat = _collect_quantized_checked(df, id_col, vec_col, exact_bits=53)
+    if mat is not None:
         from ._bc import register
 
-        ids, M = _collect_quantized(df, id_col, vec_col)
+        ids, M = mat
         sc = df.sparkSession.sparkContext
         bc = register("cosine_pairs_matrix", sc.broadcast((ids, M)))
         id_type = dict(df.dtypes)[id_col]
@@ -386,6 +446,7 @@ def cosine_dup_pairs(
             _pair_scored_batches(bc, thr_q, _cos_q_scores, np.int64),
             f"id_a {id_type}, id_b {id_type}, cos_q bigint",
         )
+    _matrix_fits(df, id_col, vec_col)  # exactness raise on bad data
     qa = _quantized(df, id_col, vec_col).select(
         F.col("id").alias("id_a"), F.col("q").alias("qa")
     )
@@ -491,7 +552,7 @@ def srp_bucket(vec, n_planes: int = 16, seed: int = 9001):
 
 def _lsh_candidates(
     src: DataFrame, n_planes: int | None, n_tables: int, seed: int,
-    bucket_cap: int, target_bucket: int,
+    bucket_cap: int, target_bucket: int, dedup: bool = True,
 ) -> DataFrame:
     """(id, v) → deduped candidate (vec_id, neighbor_id) pairs via the
     capped multi-table bucket join (see lsh_topk_cosine's BOUNDED
@@ -517,12 +578,94 @@ def _lsh_candidates(
         .filter(F.col("__r") <= bucket_cap)
         .select(F.col("id").alias("neighbor_id"), "table_idx", "bucket")
     )
-    return (
+    out = (
         a.join(b, ["table_idx", "bucket"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .dropDuplicates(["vec_id", "neighbor_id"])
     )
+    # dedup=False lets a caller that immediately repartitions by
+    # vec_id fold the global dedup into its own partition-local pass
+    # (one exchange instead of two — guide §2.4)
+    return out.dropDuplicates(["vec_id", "neighbor_id"]) if dedup else out
+
+
+def _collect_float_matrix(src: DataFrame):
+    """(ids sorted asc, float64 matrix) of the (id, v) frame — the
+    broadcast scorer side for the ANN lanes — or None when the budget,
+    the int-id contract, or uniform dims don't hold (callers keep the
+    join-based scorer as the over-budget plan). One Spark job."""
+    if dict(src.dtypes)["id"] not in ("bigint", "int"):
+        return None
+    try:
+        pdf = src.limit(_MATRIX_MAX_ROWS + 1).toPandas()
+    except Exception:
+        return None  # driver.maxResultSize guard: over budget
+    n = len(pdf)
+    if n == 0 or n > _MATRIX_MAX_ROWS:
+        return None
+    vs = pdf["v"].to_numpy()
+    d0 = len(vs[0])
+    if any(len(v) != d0 for v in vs):
+        return None  # ragged dims: the join path size-checks per pair
+    if not (0 < n * d0 * 8 + n * 8 <= _MATRIX_BUDGET_BYTES):
+        return None
+    ids = pdf["id"].to_numpy(np.int64)
+    M = np.stack(vs).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], M[order]
+
+
+def _lsh_scored_partition(bc, topk: int):
+    """mapInPandas over candidate (vec_id, neighbor_id) pairs hash-
+    partitioned by vec_id: buffer the partition, dedup pairs (global
+    dedup — every pair of a vec lands in this partition), score from
+    the broadcast float64 matrix with the same einsum expressions
+    _cosine_batch evaluates (bit-identical sums), rank per vec by
+    (cosine desc, neighbor_id asc) exactly like the row_number window
+    it replaces. Spark orders NaN above every double in a desc sort;
+    the sort key maps NaN to +inf to match."""
+
+    def gen(batches):
+        ids_b, M = bc.value
+        abuf, bbuf = [], []
+        for pdf in batches:
+            if len(pdf):
+                abuf.append(pdf["vec_id"].to_numpy(np.int64))
+                bbuf.append(pdf["neighbor_id"].to_numpy(np.int64))
+        if not abuf:
+            return
+        a = np.concatenate(abuf)
+        b = np.concatenate(bbuf)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[first], b[first]
+        A = M[np.searchsorted(ids_b, a)]
+        B = M[np.searchsorted(ids_b, b)]
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        cos = dots / (na * nb)
+        key = np.where(np.isnan(cos), np.inf, cos)
+        order = np.lexsort((b, -key, a))
+        a, b, cos = a[order], b[order], cos[order]
+        starts = np.ones(len(a), dtype=bool)
+        starts[1:] = a[1:] != a[:-1]
+        idx = np.arange(len(a), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(starts, idx, 0))
+        rank = idx - run_start + 1
+        keep = rank <= topk
+        yield pd.DataFrame(
+            {
+                "vec_id": a[keep],
+                "neighbor_id": b[keep],
+                "cosine": cos[keep],
+                "rank": rank[keep].astype(np.int32),
+            }
+        )
+
+    return gen
 
 
 def lsh_topk_cosine(
@@ -566,6 +709,36 @@ def lsh_topk_cosine(
     """
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
         .filter(F.col("v").isNotNull() & (F.size("v") > 0))
+    # BROADCAST-SCORED plan under the matrix budget (round 6, guide
+    # §3.1/§2.4): candidates stay the same capped ids-only bucket
+    # join, but the deduped pairs are scored against the broadcast
+    # float64 matrix inside ONE vec_id-partitioned Arrow pass — the
+    # dropDuplicates exchange, both vector-attach join exchanges and
+    # the top-k window exchange collapse into a single repartition
+    # (same einsum scores, same (cosine desc, neighbor_id) ranking).
+    # Over budget / ragged dims / non-int ids: the join-based scorer
+    # below is the plan, unchanged.
+    mat = _collect_float_matrix(src)
+    if mat is not None:
+        from ..session import plan_width
+        from ._bc import register
+
+        bc = register(
+            "lsh_topk_matrix",
+            src.sparkSession.sparkContext.broadcast(mat),
+        )
+        cand = _lsh_candidates(
+            src, n_planes, n_tables, seed, bucket_cap, target_bucket,
+            dedup=False,
+        )
+        id_type = dict(df.dtypes)[id_col]
+        return cand.repartition(
+            plan_width(src.sparkSession), "vec_id"
+        ).mapInPandas(
+            _lsh_scored_partition(bc, topk),
+            f"vec_id {id_type}, neighbor_id {id_type}, "
+            f"cosine double, rank int",
+        )
     cand = _lsh_candidates(
         src, n_planes, n_tables, seed, bucket_cap, target_bucket
     )

@@ -129,7 +129,9 @@ def test_cosine_dup_pairs_matches_numpy_and_fallback(spark, smoke_sf_dir):
     import datasketches_java_spark.operators.similarity as sim
 
     orig = sim._matrix_fits
+    orig_cc = sim._collect_quantized_checked
     sim._matrix_fits = lambda *a, **k: False
+    sim._collect_quantized_checked = lambda *a, **k: None
     try:
         slow = {
             (r.id_a, r.id_b, r.cos_q)
@@ -137,6 +139,7 @@ def test_cosine_dup_pairs_matches_numpy_and_fallback(spark, smoke_sf_dir):
         }
     finally:
         sim._matrix_fits = orig
+        sim._collect_quantized_checked = orig_cc
     assert slow == expected
 
 

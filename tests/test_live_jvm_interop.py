@@ -867,6 +867,22 @@ def test_generic_tuple_updatable_images_heapify(spark):
         assert np.array_equal(np.sort(ref.hashes), mine.hashes)
         assert np.allclose(np.sort(ref.values), np.sort(mine.values))
 
+    # sampling-mode image (p < 1): theta == p·LONG_MAX is ELIDED from
+    # the wire image (IS_IN_SAMPLING_MODE set, IS_THETA_INCLUDED not),
+    # and must be reconstructed from the stored samplingProbability
+    # float exactly as the reference does (round-5 ADVICE finding:
+    # thetaLong = (long)(Long.MAX_VALUE * samplingProbability))
+    bldp = tup.UpdatableSketchBuilder(fac)
+    bldp.setSamplingProbability(float(0.5))
+    skp = bldp.build()
+    for i in range(200):
+        skp.update(i, float(i) + 0.25)
+    mine = TPC.from_ref_updatable_bytes(bytes(skp.toByteArray()), "double")
+    compp = skp.compact()
+    assert mine.theta_long == compp.getThetaLong()
+    assert mine.retained == compp.getRetainedEntries()
+    assert mine.estimate() == compp.getEstimate()
+
 
 # ----------------------------------------------------------- FDT
 

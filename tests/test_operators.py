@@ -368,3 +368,39 @@ def test_lsh_topk_skips_null_and_ragged_vectors(spark):
     assert 2 not in set(out.neighbor_id) and 3 not in set(out.neighbor_id)
     assert 2 not in set(out.vec_id) and 3 not in set(out.vec_id)
     assert out.cosine.notna().all()
+
+
+def test_lsh_broadcast_scorer_matches_join_scorer(spark):
+    """Round-6 optimization: under the matrix budget the LSH lane
+    scores deduped candidates against a broadcast float64 matrix in
+    one vec_id-partitioned Arrow pass. The result frame must be
+    IDENTICAL to the join-based scorer it replaces — same pairs,
+    bitwise-equal cosines, same ranks (ties broken by neighbor_id,
+    including exact-duplicate vectors)."""
+    import numpy as np
+
+    import datasketches_java_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(400)]
+    # exact duplicates exercise cosine ties in the ranking
+    rows += [(1000 + i, rows[i][1]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    kw = dict(topk=3, n_planes=3, n_tables=4)
+    fast = sim.lsh_topk_cosine(df, "id", "v", **kw).toPandas()
+    orig = sim._collect_float_matrix
+    sim._collect_float_matrix = lambda *a, **k: None
+    try:
+        slow = sim.lsh_topk_cosine(df, "id", "v", **kw).toPandas()
+    finally:
+        sim._collect_float_matrix = orig
+
+    def norm(p):
+        return p.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+    f, s = norm(fast), norm(slow)
+    assert len(f) == len(s) and len(f) > 0
+    assert (f.vec_id.to_numpy() == s.vec_id.to_numpy()).all()
+    assert (f.neighbor_id.to_numpy() == s.neighbor_id.to_numpy()).all()
+    assert (f.cosine.to_numpy() == s.cosine.to_numpy()).all()  # bitwise
+    assert (f["rank"].to_numpy() == s["rank"].to_numpy()).all()
