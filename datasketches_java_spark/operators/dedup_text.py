@@ -24,6 +24,8 @@ no engine-private hash.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,52 +62,70 @@ def simhash60(text_sql: str = "text") -> F.Column:
 def simhash60_sigs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sig) SimHash signatures in COLUMNAR form — semantically
     identical to simhash60 (same tokens, same md5-prefix hash, same
-    strictly-positive vote rule; asserted equal on the gate corpus)
-    but moderately faster (measured ~10% steady-state, ~25% cold at
-    sf0.1): the per-row 60-wide zip_with fold allocates arrays per
-    token inside Catalyst's higher-order-function interpreter, while
-    this form explodes the distinct tokens once and runs 60 flat SUM
-    aggregates under whole-stage codegen. Scale shape: split() always
-    yields >= 1 element (empty text -> the '' token, like the fold
-    form), and the 60 vote sums partially aggregate map-side, so the
-    groupBy shuffle carries |docs| rows of 61 ints — not |tokens|
-    rows."""
+    strictly-positive vote rule; asserted equal against the per-row
+    fold in tests/test_dedup_text.py).
+
+    Plan (round 6): tokenization stays a Catalyst expression (split /
+    trim / lower — the engine-neutral token contract), but the md5
+    votes run as ONE Arrow map pass (guide §4.2): the former 60-column
+    SUM aggregate exceeded the whole-stage-codegen field limit and
+    executed interpreted (measured 0.81s of a 0.86s stage at sf0.1 for
+    just 116k token rows), and its groupBy exchange disappears
+    entirely — a doc's token array is already one row. Per batch the
+    kernel md5-hashes the DISTINCT tokens only (np.unique over the
+    flattened batch vocabulary), unpacks the 60 hash bits, and
+    segment-sums votes per doc with np.add.reduceat. NULL text yields
+    no output row, exactly like the exploded groupBy it replaces."""
     from ..session import plan_width
 
-    # Re-spread the slim (id, text) projection across all cores BEFORE
-    # the token explode + per-token md5 (guide §2.5 "input skew: one
-    # unsplittable file"): a single-file table otherwise runs the
-    # whole map stage on one task (same fix ssjoin_jaccard_pairs and
-    # compute_signatures already apply). A few MB of text moves; the
-    # CPU-bound hashing then runs at full width.
-    slim = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    id_type = dict(df.dtypes)[id_col]
+    # Re-spread the slim (id, tokens) projection across all cores —
+    # a single-file table otherwise runs the whole map stage on one
+    # task (guide §2.5; ssjoin/compute_signatures precedent).
+    toks_arr = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__ts"),
     ).repartition(plan_width(df.sparkSession))
-    toks = slim.select(
-        "id",
-        F.explode(
-            F.array_distinct(
-                F.split(F.trim(F.lower(F.col("__t"))), r"\s+")
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            lists = pdf["__ts"].to_numpy()
+            keep = np.array([x is not None for x in lists], dtype=bool)
+            if not keep.any():
+                continue
+            ids = pdf["id"].to_numpy()[keep]
+            lists = lists[keep]
+            lens = np.fromiter(
+                (len(x) for x in lists), np.int64, len(lists)
             )
-        ).alias("t"),
-    ).withColumn(
-        "h", F.expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)")
-    )
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    sig = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(
-            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
-    return votes.select("id", sig.alias("sig"))
+            flat = np.concatenate(lists)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            hv = np.empty(len(uniq), np.uint64)
+            md5 = hashlib.md5
+            for i, t in enumerate(uniq):
+                # first 15 hex chars of md5 == high 60 bits of digest
+                hv[i] = int.from_bytes(
+                    md5(t.encode("utf-8")).digest()[:8], "big"
+                ) >> 4
+            h = hv[inv]
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            starts = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            s = np.add.reduceat(bits, starts, axis=0)  # (docs, 60)
+            # vote sum > 0  <=>  2·(set-bit count) > n_tokens
+            sigbits = (2 * s) > lens[:, None]
+            sig = (
+                sigbits.astype(np.uint64) << shifts
+            ).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"id": ids, "sig": sig})
+
+    return toks_arr.mapInPandas(gen, f"id {id_type}, sig bigint")
 
 
 def simhash_dup_pairs(
