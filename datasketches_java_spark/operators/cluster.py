@@ -209,16 +209,19 @@ def connected_components(
     try:
         if n_edges <= TAIL_EDGES:
             # common case at bench tiers: no contraction rounds at all —
-            # the edge plan streams straight into the one-task finisher
-            # (computed once, so no checkpoint needed), and the
-            # finisher's (u → root) map IS the label table
+            # the edge plan streams straight into the one-task finisher,
+            # and the finisher's (u → root) map IS the label table.
+            # Persist instead of a parquet checkpoint (round 6): the
+            # small-graph label table is a few MB and its consumers
+            # (the size aggregate + the vertex join below) re-read it
+            # in the same action chain — the checkpoint's write+read
+            # round trip was a fixed ~1s the multi-core leg cannot
+            # parallelize (a contraction ROUND still checkpoints: its
+            # state must survive plan-growth across iterations).
             E = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-            labels = _pq_checkpoint(
-                _unionfind_finish(E).select(
-                    F.col("u").alias("x"), F.col("m").alias("label")
-                ),
-                state_root, "labels_final",
-            )
+            labels = _unionfind_finish(E).select(
+                F.col("u").alias("x"), F.col("m").alias("label")
+            ).persist()
             if metrics is not None:
                 metrics["cc_rounds"] = 1
         else:

@@ -164,11 +164,41 @@ def candidate_pairs(band_rows: DataFrame, cfg: DedupConfig = FROZEN) -> DataFram
     """(id64, band_key) rows → distinct candidate (id_a < id_b) pairs.
 
     pHash blocks are coarse, so their cap is much tighter than the
-    caption MinHash bands' (sign of the key selects the cap)."""
+    caption MinHash bands' (sign of the key selects the cap).
+
+    Round-6 plan shape (guide §4.1 "pass only what the function
+    needs", measured at c4/1M: stage 23.1s → ~19s):
+
+    - SINGLETON-BAND FILTER before the Python boundary: the dominant
+      stage cost is not the shuffle (4.7s) but JVM→Python Arrow
+      serialization of the band rows (+11.9s for 38M rows at c4, and
+      it scales ~2x not 4x across cores — it is bus-bound). Most band
+      keys occur exactly once and can never produce a pair, so a
+      window count over the SAME band_key partitioning (no extra
+      exchange; one in-partition sort) drops them JVM-side — 38M →
+      10.3M boundary rows on the 1M corpus. Pair output is provably
+      identical: every multi-member group still crosses whole.
+    - pairs repartition by id_a BEFORE the distinct: hash-partitioning
+      on a subset of the distinct keys satisfies the aggregation's
+      required distribution, so the distinct runs with no further
+      exchange — and the stage's cached OUTPUT is then already
+      partitioned the way the verify stage's first join (on id_a)
+      needs it, removing that stage's candidate-side exchange
+      (the same one-shuffle-saves-two layout trick
+      compute_signatures uses for id64).
+    """
+    from pyspark.sql import Window
+
     from ..session import plan_width
 
     spark = band_rows.sparkSession
     par = plan_width(spark)
     grouped = band_rows.repartition(par, "band_key")
-    pairs = grouped.mapInPandas(_pair_gen(cfg), PAIR_SCHEMA)
-    return pairs.distinct()
+    w = Window.partitionBy("band_key")
+    flt = (
+        grouped.withColumn("__g", F.count("*").over(w))
+        .filter(F.col("__g") >= 2)
+        .drop("__g")
+    )
+    pairs = flt.mapInPandas(_pair_gen(cfg), PAIR_SCHEMA)
+    return pairs.repartition(par, "id_a").distinct()

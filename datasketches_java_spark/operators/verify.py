@@ -70,7 +70,7 @@ def _verify_arrow(cfg: DedupConfig):
                 continue
             vals_a, la = _binary_flat(batch.column("sig_a"))
             vals_b, lb_ = _binary_flat(batch.column("sig_b"))
-            lb, est, ub = kmv.jaccard_bounds_flat(
+            lb, est, ub = kmv.jaccard_bounds_flat_chunked(
                 vals_a, la, vals_b, lb_, cfg.kmv_k, 2.0
             )
             # empty-caption rule (matches the golden oracle: empty text
@@ -130,7 +130,16 @@ def verify_pairs(
         F.col("simhash").alias("sim_b"),
         F.col("phash").alias("ph_b"),
     )
-    joined = candidates.join(sa, "id_a").join(sb, "id_b")
+    # join 1 is exchange-free (candidates arrive hash-partitioned by
+    # id_a from the candidates stage; signatures by id64 — see
+    # candidate_pairs/compute_signatures layout notes). Join 2 must
+    # move the payload-carrying pair rows by id_b; force the shuffled
+    # hash join so that side is only HASHED, never sorted — the SMJ
+    # the planner picks statically sorts ~1 KB rows (two sig payloads)
+    # and is bandwidth-bound exactly where the multi-core leg is
+    # weakest (guide §3.1: build side = the fixed-width signature
+    # table, bounded per partition).
+    joined = candidates.join(sa, "id_a").join(sb.hint("SHUFFLE_HASH"), "id_b")
     scored = joined.mapInArrow(_verify_arrow(cfg), VERIFY_SCHEMA)
     return scored.filter(
         F.col("match_caption") | F.col("match_simhash") | F.col("match_phash")
