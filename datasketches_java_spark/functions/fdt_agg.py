@@ -58,7 +58,13 @@ def fdt_group_list(
     lb == ub == grp_count, rse == 0 — the oracle-checked gate contract.
     Update key is the ','-joined tuple (tuple/Util.stringConcat) on our
     MurmurHash3 lane; dims are carried as separate columns so primary
-    keys never re-split a joined string."""
+    keys never re-split a joined string. CAVEAT (mirrors the
+    reference's own Util.stringConcat ambiguity, kept for parity):
+    dimension values containing the separator collide — ('a,b','c')
+    and ('a','b,c') share one update key, so on comma-containing data
+    distinct tuples can silently dedupe and the retained dims are
+    ingestion-order dependent. Pass a `sep` that cannot occur in the
+    data (e.g. '\\x1f') when exactness on such data matters."""
     k = 1 << lgk
     n_dims = len(dims)
     dcols = [f"__d{i}" for i in range(n_dims)]
