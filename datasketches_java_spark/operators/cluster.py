@@ -286,15 +286,27 @@ def connected_components(
                 if metrics is not None:
                     metrics["cc_rounds"] = rounds + 1
 
+        # Small-graph path: the label table is bounded by construction
+        # (≤ 2·TAIL_EDGES rows ≈ 32 MB of int64 pairs), so the size
+        # attach and the singleton anti-join broadcast it instead of
+        # exchanging the (much larger) vertex table — two Exchanges
+        # become none on the stage's fixed-cost tail (guide §3.1).
+        # The contraction path keeps shuffle joins: its label table
+        # scales with the graph.
+        small = n_edges <= TAIL_EDGES
         sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-        connected = labels.join(sizes, "label").select(
+        connected = labels.join(
+            F.broadcast(sizes) if small else sizes, "label"
+        ).select(
             F.col("x").alias(id_col),
             F.col("label").alias("cluster_id"),
             F.col("cluster_size").cast("int").alias("cluster_size"),
         )
+        label_ids = labels.select(F.col("x").alias(id_col))
         singletons = (
             vertices.select(F.col(id_col))
-            .join(labels.select(F.col("x").alias(id_col)), id_col, "left_anti")
+            .join(F.broadcast(label_ids) if small else label_ids,
+                  id_col, "left_anti")
             .select(
                 F.col(id_col),
                 F.col(id_col).alias("cluster_id"),
